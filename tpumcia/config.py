@@ -1,0 +1,160 @@
+"""Configuration dataclasses for the pipeline.
+
+The reference keeps every parameter as a literal inside notebook cells
+(SURVEY.md §5: data dir at ipynb:66, test_size=0.25 at :386, importance
+threshold 0.01 at :459, n_repeats=10 / random_state=42 at :495-496, GLCM
+distances=[5], angles=[0], levels=256 at :298). Its `.gitignore` hints at a
+planned `configs/sample_config.json`. Here those become one JSON-serialisable
+config tree whose defaults equal the notebook literals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+
+@dataclass(frozen=True)
+class GLCMConfig:
+    """Gray-level co-occurrence texture settings (reference ipynb:298)."""
+
+    distance: int = 5
+    angle: float = 0.0  # radians; offset = (round(d*sin a), round(d*cos a))
+    levels: int = 256
+
+    @property
+    def offset(self) -> tuple[int, int]:
+        import math
+
+        return (
+            int(round(math.sin(self.angle) * self.distance)),
+            int(round(math.cos(self.angle) * self.distance)),
+        )
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Feature-extraction settings."""
+
+    glcm: GLCMConfig = field(default_factory=GLCMConfig)
+    include_intensity: bool = True
+    include_glcm: bool = True
+    # 'exact': integer sufficient stats on device, float64 finalize on host
+    #          (matches the reference formulas to ~1e-9).
+    # 'device': everything on-device in float32 (for fully device-resident
+    #          streaming; ~1e-6 relative accuracy).
+    precision: str = "exact"
+    # images per vmapped chunk inside the jitted scan (memory/throughput knob)
+    chunk_size: int = 32
+    # dtype for the one-hot matmuls; bfloat16 is exact for 0/1 values and the
+    # f32 MXU accumulator keeps counts exact, at half the HBM footprint.
+    onehot_dtype: str = "bfloat16"
+    use_pallas: str = "auto"  # 'auto' | 'always' | 'never'
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """Classifier-head settings (reference: RandomForestClassifier() defaults
+    at ipynb:404; the logistic head is the device-resident alternative
+    sanctioned by BASELINE.json config 2)."""
+
+    kind: str = "logistic"  # 'logistic' | 'random_forest'
+    # logistic head
+    learning_rate: float = 0.05
+    num_steps: int = 500
+    l2: float = 1e-4
+    # random forest head (sklearn adapter)
+    n_estimators: int = 100
+    max_depth: int | None = None
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class ImportanceConfig:
+    """Channel/feature importance settings (reference ipynb:458-462, 495-496)."""
+
+    n_repeats: int = 10
+    seed: int = 42
+    mdi_threshold: float = 0.01  # per-feature floor in channel aggregation
+    # 'exact' matches features to channels by parsed channel index;
+    # 'substring' replicates the reference's `"Ch1" in name` matching, which
+    # breaks for >= 10 channels (SURVEY.md §3.3).
+    channel_match: str = "exact"
+
+
+@dataclass(frozen=True)
+class SplitConfig:
+    """Train/test split. The reference split is unseeded and unstratified
+    (ipynb:386); ours is seeded, with optional stratification and grouped
+    (per-donor / per-experiment) splitting for the h5 contract."""
+
+    test_size: float = 0.25
+    seed: int = 0
+    stratify: bool = False
+    group_by: str | None = None  # None | 'donor' | 'experiment'
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. data: batch sharding; model: parameter sharding
+    for the CNN path. Sizes of -1 mean "all remaining devices"."""
+
+    data: int = -1
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    importance: ImportanceConfig = field(default_factory=ImportanceConfig)
+    split: SplitConfig = field(default_factory=SplitConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    normalize: str = "minmax"  # feature-matrix scaling before the head
+    seed: int = 0
+
+    # ------------------------------------------------------------------ io
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self, path: str | Path | None = None) -> str:
+        text = json.dumps(self.to_dict(), indent=2)
+        if path is not None:
+            Path(path).write_text(text)
+        return text
+
+    @classmethod
+    def from_dict(cls, data: dict[str, Any]) -> "PipelineConfig":
+        def build(tp, d):
+            if not dataclasses.is_dataclass(tp):
+                return d
+            kwargs = {}
+            for f in dataclasses.fields(tp):
+                if f.name in d:
+                    sub = f.type
+                    val = d[f.name]
+                    if isinstance(val, dict):
+                        sub_tp = _SUBTYPES.get(f.name)
+                        kwargs[f.name] = build(sub_tp, val) if sub_tp else val
+                    else:
+                        kwargs[f.name] = val
+            return tp(**kwargs)
+
+        return build(cls, data)
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "PipelineConfig":
+        return cls.from_dict(json.loads(Path(path).read_text()))
+
+
+_SUBTYPES = {
+    "features": FeatureConfig,
+    "head": HeadConfig,
+    "importance": ImportanceConfig,
+    "split": SplitConfig,
+    "mesh": MeshConfig,
+    "glcm": GLCMConfig,
+}

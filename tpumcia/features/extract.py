@@ -1,0 +1,147 @@
+"""End-to-end batched feature extraction: (B, H, W, C) images -> (B, 23*C).
+
+The reference extracts features in a sequential Python loop at 53.46 images/s
+(ipynb:358-364); here the whole batch is one jitted device computation plus a
+vectorised float64 host finalisation (for ``precision='exact'``) or a fully
+device-resident float32 path (``precision='device'``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import numpy as np
+
+from tpumcia.config import FeatureConfig
+from tpumcia.features import registry
+from tpumcia.features.finalize import finalize_features
+from tpumcia.features.stats import sufficient_stats
+
+
+@dataclass
+class FeatureMatrix:
+    """Feature values plus column metadata (the framework's DataFrame-free
+    equivalent of the reference's ``df_features``, ipynb:327-334)."""
+
+    values: Any  # (B, F) np.ndarray (exact mode) or jax.Array (device mode)
+    names: list[str]
+    num_channels: int
+    degenerate: Any = None  # (B, C) bool flags
+    config: FeatureConfig = field(default_factory=FeatureConfig)
+
+    @property
+    def shape(self):
+        return tuple(self.values.shape)
+
+    def __len__(self):
+        return self.values.shape[0]
+
+    def column(self, name: str):
+        return self.values[:, self.names.index(name)]
+
+    def channel_columns(self) -> list[list[int]]:
+        """Exact-index per-channel column groups (fixes the reference's
+        substring matching, SURVEY.md §3.3)."""
+        return registry.columns_by_channel(self.names, self.num_channels)
+
+    def to_pandas(self):
+        import pandas as pd
+
+        return pd.DataFrame(np.asarray(self.values), columns=self.names)
+
+    def to_numpy(self) -> np.ndarray:
+        return np.asarray(self.values)
+
+
+def extract_features(
+    images,
+    mask=None,
+    *,
+    config: FeatureConfig | None = None,
+    channel_names: list[str] | None = None,
+) -> FeatureMatrix:
+    """Extract the hand-crafted feature set from a batch of level-quantised
+    images.
+
+    Parameters
+    ----------
+    images : (B, H, W, C) uint8/int array of raw levels (the reference
+        operates on the /255 float image; level-space is equivalent and exact,
+        SURVEY.md §2.3). For 16-bit data use
+        ``preprocess.quantize_to_levels`` first.
+    mask : optional (B, H, W, C) or (B, H, W) nonzero-selects-pixels mask
+        (h5 contract, README.md:9).
+    config : FeatureConfig; defaults mirror the notebook (GLCM distance 5,
+        angle 0, 256 levels).
+    """
+    cfg = config or FeatureConfig()
+    if not (cfg.include_intensity or cfg.include_glcm):
+        raise ValueError("at least one feature family must be enabled")
+
+    images = _as_level_array(images)
+    use_pallas = _resolve_pallas(cfg)
+    if use_pallas:
+        from tpumcia.features.pallas_glcm import sufficient_stats_pallas
+
+        stats = sufficient_stats_pallas(
+            images,
+            mask,
+            levels=cfg.glcm.levels,
+            offset=cfg.glcm.offset,
+            with_intensity=cfg.include_intensity,
+            with_glcm=cfg.include_glcm,
+        )
+    else:
+        stats = sufficient_stats(
+            images,
+            mask,
+            levels=cfg.glcm.levels,
+            offset=cfg.glcm.offset,
+            chunk_size=cfg.chunk_size,
+            onehot_dtype=cfg.onehot_dtype,
+            with_intensity=cfg.include_intensity,
+            with_glcm=cfg.include_glcm,
+        )
+
+    backend = "host" if cfg.precision == "exact" else "device"
+    done = finalize_features(
+        stats,
+        include_intensity=cfg.include_intensity,
+        include_glcm=cfg.include_glcm,
+        backend=backend,
+    )
+    num_channels = images.shape[-1]
+    names = registry.feature_names(
+        num_channels,
+        include_intensity=cfg.include_intensity,
+        include_glcm=cfg.include_glcm,
+        channel_names=channel_names,
+    )
+    return FeatureMatrix(
+        values=done.values,
+        names=names,
+        num_channels=num_channels,
+        degenerate=done.degenerate,
+        config=cfg,
+    )
+
+
+def _as_level_array(images):
+    arr = images if isinstance(images, jax.Array) else np.asarray(images)
+    if arr.dtype.kind == "f":
+        raise TypeError(
+            "extract_features expects integer level images; for float/16-bit "
+            "data apply preprocess.quantize_to_levels first"
+        )
+    return arr
+
+
+def _resolve_pallas(cfg: FeatureConfig) -> bool:
+    if cfg.use_pallas == "never":
+        return False
+    on_tpu = jax.default_backend() == "tpu"
+    if cfg.use_pallas == "always":
+        return True
+    return on_tpu

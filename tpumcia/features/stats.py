@@ -1,0 +1,289 @@
+"""Device-side sufficient statistics for the hand-crafted feature set.
+
+TPU-first design (SURVEY.md §3.1 "TPU mapping"): instead of translating the
+reference's ~20 per-channel numpy passes + Cython GLCM scatter
+(ipynb:220-311), each (image, channel) is reduced **on device, in one jitted
+pass** to a small set of *integer-valued* sufficient statistics:
+
+* ``hist``      — L-bin histogram of raw levels            (intensity block)
+* ``marg_l/r``  — GLCM marginal histograms of the rescaled left/right pixels
+* ``diff_hist`` — histogram of (left - right) level differences
+* ``glcm_sumsq``— sum of squared co-occurrence counts (for ASM/energy)
+* counts, maxima, and mask-aware pair counts
+
+Every statistic is an exactly-representable integer in float32 (counts and
+count-weighted integer sums stay < 2^24 for the supported image sizes), so the
+float64 host finalisation in ``finalize.py`` reproduces the reference's
+numpy/scipy float64 arithmetic to ~1e-9 — far inside the 1e-5 MAE target —
+while all pixel-touching work runs on the MXU/VPU.
+
+Histograms and co-occurrence counts are computed as one-hot contractions
+(`einsum`) so XLA tiles them onto the MXU; the scatter-style GLCM loop the
+reference delegates to Cython (`skimage _glcm_loop`, ipynb:298) has no
+efficient TPU equivalent. A fused Pallas kernel with the same contract lives
+in ``pallas_glcm.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SuffStats(NamedTuple):
+    """Per-(image, channel) sufficient statistics. Leading dims (B, C)."""
+
+    hist: jax.Array  # (B, C, L)    raw-level histogram (masked counts)
+    count: jax.Array  # (B, C)       number of (masked) pixels
+    vmax: jax.Array  # (B, C) i32   max raw level over masked pixels; -1 if none
+    marg_l: jax.Array  # (B, C, L)    GLCM left-pixel marginal (rescaled levels)
+    marg_r: jax.Array  # (B, C, L)    GLCM right-pixel marginal
+    diff_hist: jax.Array  # (B, C, 2L-1) histogram of (left - right) + (L-1)
+    glcm_sumsq: jax.Array  # (B, C)       sum over the GLCM of count^2
+    pair_count: jax.Array  # (B, C)       number of valid (masked) pixel pairs
+
+
+@functools.lru_cache(maxsize=8)
+def rescale_lut(levels: int = 256) -> np.ndarray:
+    """(levels, levels) int32 LUT of the reference's GLCM rescale.
+
+    ``LUT[m, v]`` is the uint8 level the reference assigns to raw level ``v``
+    in a channel whose max raw level is ``m``: the notebook computes
+    ``(ch/255) / (ch.max()/255) * 255`` in float64 and truncates with
+    ``astype(uint8)`` (ipynb:293-295). The float64 arithmetic is replicated
+    bit-for-bit here on host, so the device path — a table lookup via one-hot
+    matmul — is exact, including truncation edge cases. Row 0 (an all-zero
+    channel, where the reference divides 0/0) is defined as all zeros; callers
+    flag it as degenerate.
+    """
+    top = float(levels - 1)
+    vals = np.arange(levels, dtype=np.float64) / top  # the /255. image values
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scaled = (vals[None, :] / vals[:, None]) * top
+    lut = np.clip(np.nan_to_num(scaled, nan=0.0, posinf=top), 0.0, top)
+    lut = lut.astype(np.uint8 if levels <= 256 else np.int32).astype(np.int32)
+    lut[0, :] = 0
+    return lut
+
+
+def _one_hot(values: jax.Array, size: int, dtype) -> jax.Array:
+    """(..., P) int -> (..., P, size) one-hot; 0/1 are exact in any float dtype."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
+    return (values[..., None] == iota).astype(dtype)
+
+
+def _single_image_stats(
+    img: jax.Array,  # (C, H, W) int32 raw levels
+    weight: jax.Array,  # (C, H, W) {0,1} mask weights
+    lut: jax.Array,  # (L, L) int32
+    *,
+    levels: int,
+    offset: tuple[int, int],
+    onehot_dtype,
+    with_intensity: bool,
+    with_glcm: bool,
+) -> SuffStats:
+    C, H, W = img.shape
+    L = levels
+    f32 = jnp.float32
+
+    flat = img.reshape(C, H * W)
+    wflat = weight.reshape(C, H * W).astype(onehot_dtype)
+
+    oh_raw = _one_hot(flat, L, onehot_dtype)  # (C, HW, L)
+    if with_intensity:
+        hist = jnp.einsum("cpl,cp->cl", oh_raw, wflat, preferred_element_type=f32)
+    else:
+        hist = jnp.zeros((C, L), f32)
+    count = jnp.sum(wflat.astype(f32), axis=1)
+    vmax = jnp.max(jnp.where(weight > 0, img, -1), axis=(1, 2)).astype(jnp.int32)
+
+    if not with_glcm:
+        zL = jnp.zeros((C, L), f32)
+        return SuffStats(
+            hist,
+            count,
+            vmax,
+            zL,
+            zL,
+            jnp.zeros((C, 2 * L - 1), f32),
+            jnp.zeros((C,), f32),
+            jnp.zeros((C,), f32),
+        )
+
+    # --- GLCM rescale: raw level -> reference uint8 level, via LUT row of the
+    # channel max, applied with the already-built one-hot (an MXU matvec).
+    row = jnp.einsum(
+        "cl,lk->ck",
+        _one_hot(jnp.clip(vmax, 0, L - 1)[:, None], L, onehot_dtype)[:, 0, :],
+        lut.astype(f32),
+        preferred_element_type=f32,
+    )  # (C, L) float-exact integers
+    resc = jnp.einsum("cpl,cl->cp", oh_raw, row, preferred_element_type=f32)
+    resc = resc.astype(jnp.int32).reshape(C, H, W)
+
+    # --- co-occurring pairs at the (static) offset
+    dr, dc = offset
+    r0, r1 = max(0, -dr), H - max(0, dr)
+    c0, c1 = max(0, -dc), W - max(0, dc)
+    if r0 >= r1 or c0 >= c1:
+        raise ValueError(f"GLCM offset {offset} leaves no valid pairs for {H}x{W}")
+    left = resc[:, r0:r1, c0:c1].reshape(C, -1)
+    right = resc[:, r0 + dr : r1 + dr, c0 + dc : c1 + dc].reshape(C, -1)
+    wl = weight[:, r0:r1, c0:c1].reshape(C, -1)
+    wr = weight[:, r0 + dr : r1 + dr, c0 + dc : c1 + dc].reshape(C, -1)
+    pw = (wl * wr).astype(onehot_dtype)  # (C, P)
+
+    oh_l = _one_hot(left, L, onehot_dtype) * pw[..., None]
+    oh_r = _one_hot(right, L, onehot_dtype)
+    marg_l = jnp.einsum("cpl->cl", oh_l.astype(f32))
+    marg_r = jnp.einsum("cpl,cp->cl", oh_r, pw, preferred_element_type=f32)
+    diff = left - right + (L - 1)  # in [0, 2L-2]
+    diff_hist = jnp.einsum(
+        "cpl,cp->cl", _one_hot(diff, 2 * L - 1, onehot_dtype), pw,
+        preferred_element_type=f32,
+    )
+    # Full co-occurrence matrix on the MXU; only its sum of squares leaves the
+    # op (needed for ASM/energy — the one prop not derivable from marginals).
+    glcm = jnp.einsum("cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32)
+    glcm_sumsq = jnp.sum(glcm * glcm, axis=(1, 2))
+    pair_count = jnp.sum(pw.astype(f32), axis=1)
+
+    return SuffStats(
+        hist, count, vmax, marg_l, marg_r, diff_hist, glcm_sumsq, pair_count
+    )
+
+
+def _prep_inputs(images, mask):
+    """-> (B, C, H, W) int32 images, (B, C, H, W) float mask weights."""
+    images = jnp.asarray(images)
+    if images.ndim != 4:
+        raise ValueError(f"expected (B, H, W, C) images, got shape {images.shape}")
+    img = jnp.transpose(images, (0, 3, 1, 2)).astype(jnp.int32)
+    if mask is None:
+        w = jnp.ones(img.shape, jnp.float32)
+    else:
+        mask = jnp.asarray(mask)
+        if mask.ndim == 3:  # (B, H, W) shared across channels
+            mask = mask[..., None]
+        w = (jnp.transpose(mask, (0, 3, 1, 2)) > 0).astype(jnp.float32)
+    return img, w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels",
+        "offset",
+        "chunk_size",
+        "onehot_dtype",
+        "with_intensity",
+        "with_glcm",
+    ),
+)
+def _sufficient_stats_jit(
+    img,
+    w,
+    lut,
+    *,
+    levels,
+    offset,
+    chunk_size,
+    onehot_dtype,
+    with_intensity,
+    with_glcm,
+):
+    fn = functools.partial(
+        _single_image_stats,
+        lut=lut,
+        levels=levels,
+        offset=offset,
+        onehot_dtype=jnp.dtype(onehot_dtype),
+        with_intensity=with_intensity,
+        with_glcm=with_glcm,
+    )
+    batch = img.shape[0]
+    bs = min(chunk_size, batch) if chunk_size else batch
+    return jax.lax.map(lambda xw: fn(xw[0], xw[1]), (img, w), batch_size=bs)
+
+
+def sufficient_stats(
+    images,
+    mask=None,
+    *,
+    levels: int = 256,
+    offset: tuple[int, int] = (0, 5),
+    chunk_size: int = 32,
+    onehot_dtype: str = "bfloat16",
+    with_intensity: bool = True,
+    with_glcm: bool = True,
+) -> SuffStats:
+    """Compute per-(image, channel) sufficient statistics on device.
+
+    Parameters
+    ----------
+    images : (B, H, W, C) integer array of raw levels in [0, levels).
+    mask : optional (B, H, W, C) or (B, H, W); nonzero selects pixels. GLCM
+        pairs require both endpoints selected (the reference has no mask path;
+        semantics defined here per the h5 contract, README.md:9).
+    offset : (dr, dc) pixel offset of the co-occurring neighbour. The
+        reference uses distance 5 at angle 0 -> (0, 5) (ipynb:298).
+    chunk_size : images per vmapped chunk inside the scan (memory knob).
+    """
+    img, w = _prep_inputs(images, mask)
+    lut = jnp.asarray(rescale_lut(levels))
+    return _sufficient_stats_jit(
+        img,
+        w,
+        lut,
+        levels=levels,
+        offset=offset,
+        chunk_size=chunk_size,
+        onehot_dtype=onehot_dtype,
+        with_intensity=with_intensity,
+        with_glcm=with_glcm,
+    )
+
+
+def glcm_matrix(images, mask=None, *, levels: int = 256, offset=(0, 5)) -> jax.Array:
+    """(B, C, L, L) raw co-occurrence count matrices (float32, exact counts).
+
+    API parity with ``skimage.feature.graycomatrix`` for users who want the
+    matrix itself; the feature path never materialises it in HBM.
+    Applies the reference's per-channel max rescale first (ipynb:293-298).
+    """
+    img, w = _prep_inputs(images, mask)
+    lut = jnp.asarray(rescale_lut(levels))
+
+    @jax.jit
+    def run(img, w):
+        def one(img1, w1):
+            C, H, W = img1.shape
+            f32 = jnp.float32
+            vmax = jnp.max(jnp.where(w1 > 0, img1, -1), axis=(1, 2)).astype(jnp.int32)
+            row = jnp.take(lut, jnp.clip(vmax, 0, levels - 1), axis=0).astype(f32)
+            oh_raw = _one_hot(img1.reshape(C, -1), levels, f32)
+            resc = (
+                jnp.einsum("cpl,cl->cp", oh_raw, row, preferred_element_type=f32)
+                .astype(jnp.int32)
+                .reshape(C, H, W)
+            )
+            dr, dc = offset
+            r0, r1 = max(0, -dr), H - max(0, dr)
+            c0, c1 = max(0, -dc), W - max(0, dc)
+            left = resc[:, r0:r1, c0:c1].reshape(C, -1)
+            right = resc[:, r0 + dr : r1 + dr, c0 + dc : c1 + dc].reshape(C, -1)
+            pw = (
+                w1[:, r0:r1, c0:c1] * w1[:, r0 + dr : r1 + dr, c0 + dc : c1 + dc]
+            ).reshape(C, -1)
+            oh_l = _one_hot(left, levels, f32) * pw[..., None]
+            oh_r = _one_hot(right, levels, f32)
+            return jnp.einsum("cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32)
+
+        return jax.lax.map(lambda xw: one(xw[0], xw[1]), (img, w), batch_size=8)
+
+    return run(img, w)
