@@ -1,0 +1,58 @@
+"""Pallas kernel parity vs the XLA sufficient-stats path.
+
+On CPU the kernel runs in interpreter mode (small batches only); the same
+comparison runs compiled on real TPU hardware when available (bench path).
+"""
+
+import numpy as np
+import pytest
+
+from tpumcia.features.pallas_glcm import sufficient_stats_pallas
+from tpumcia.features.stats import sufficient_stats
+
+
+def _assert_stats_equal(a, b):
+    for name in a._fields:
+        x = np.asarray(getattr(a, name), dtype=np.float64)
+        y = np.asarray(getattr(b, name), dtype=np.float64)
+        np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+def test_pallas_matches_xla(small_batch):
+    ref = sufficient_stats(small_batch[:2])
+    got = sufficient_stats_pallas(small_batch[:2], interpret=True)
+    _assert_stats_equal(ref, got)
+
+
+def test_pallas_masked(rng):
+    img = (rng.random((2, 32, 32, 2)) * 256).astype(np.uint8)
+    mask = rng.random((2, 32, 32, 2)) > 0.3
+    ref = sufficient_stats(img, mask)
+    got = sufficient_stats_pallas(img, mask, interpret=True)
+    _assert_stats_equal(ref, got)
+
+
+def test_pallas_nondefault_offset(rng):
+    img = (rng.random((2, 24, 24, 1)) * 256).astype(np.uint8)
+    for offset in [(0, 1), (3, 0), (2, 2)]:
+        ref = sufficient_stats(img, offset=offset)
+        got = sufficient_stats_pallas(img, offset=offset, interpret=True)
+        _assert_stats_equal(ref, got)
+
+
+def test_pallas_degenerate_channels():
+    img = np.zeros((1, 16, 16, 2), dtype=np.uint8)
+    img[:, :, :, 1] = 4
+    ref = sufficient_stats(img)
+    got = sufficient_stats_pallas(img, interpret=True)
+    _assert_stats_equal(ref, got)
+
+
+@pytest.mark.tpu
+def test_pallas_compiled_on_tpu(small_batch):
+    from tpumcia.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    ref = sufficient_stats(small_batch)
+    got = sufficient_stats_pallas(small_batch)
+    _assert_stats_equal(ref, got)
