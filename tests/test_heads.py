@@ -1,0 +1,109 @@
+"""Heads: device logistic regression, RF adapter, device forest, scaler."""
+
+import numpy as np
+import pytest
+
+from tpumcia.config import HeadConfig
+from tpumcia.models import MinMaxScaler, fit_head
+from tpumcia.models.heads import LogisticHead, RandomForestHead
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 3, size=(4, 10))
+    X = np.concatenate([c + rng.normal(0, 0.5, size=(50, 10)) for c in centers])
+    y = np.repeat(np.arange(4), 50)
+    perm = rng.permutation(len(y))
+    return X[perm].astype(np.float32), y[perm]
+
+
+def test_minmax_scaler_matches_sklearn(blobs):
+    from sklearn.preprocessing import MinMaxScaler as SkScaler
+
+    X, _ = blobs
+    ours = MinMaxScaler.fit(X)
+    sk = SkScaler().fit(X)
+    np.testing.assert_allclose(
+        np.asarray(ours.transform(X)), sk.transform(X), atol=1e-6
+    )
+
+
+def test_minmax_scaler_zero_range():
+    X = np.array([[1.0, 5.0], [1.0, 7.0]])
+    s = MinMaxScaler.fit(X)
+    out = np.asarray(s.transform(X))
+    np.testing.assert_allclose(out[:, 0], 0.0)  # zero-range -> scale 1, x-min=0
+    np.testing.assert_allclose(out[:, 1], [0.0, 1.0])
+
+
+def test_logistic_head_learns(blobs):
+    X, y = blobs
+    head = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=300))
+    assert isinstance(head, LogisticHead)
+    assert head.score(X, y) > 0.95
+    proba = np.asarray(head.predict_proba(X))
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, atol=1e-5)
+    assert set(head.predict(X)) <= set(np.unique(y))
+
+
+def test_logistic_head_string_labels(blobs):
+    X, y = blobs
+    names = np.array(["a", "b", "c", "d"])[y]
+    head = fit_head(X, names, config=HeadConfig(kind="logistic", num_steps=200))
+    assert head.score(X, names) > 0.9
+    assert set(head.predict(X)) <= set("abcd")
+
+
+def test_rf_head_and_device_forest_agree(blobs):
+    X, y = blobs
+    head = fit_head(X, y, config=HeadConfig(kind="random_forest", n_estimators=20))
+    assert isinstance(head, RandomForestHead)
+    assert head.score(X, y) > 0.95
+
+    dev = head.to_device()
+    host_proba = head.predict_proba(X)
+    dev_proba = np.asarray(dev.predict_proba(X))
+    np.testing.assert_allclose(dev_proba, host_proba, atol=1e-5)
+    np.testing.assert_array_equal(dev.predict(X), head.predict(X))
+
+
+def test_rf_seeded_deterministic(blobs):
+    X, y = blobs
+    cfg = HeadConfig(kind="random_forest", n_estimators=10, seed=3)
+    h1 = fit_head(X, y, config=cfg)
+    h2 = fit_head(X, y, config=cfg)
+    np.testing.assert_array_equal(h1.mdi_importance(), h2.mdi_importance())
+
+
+def test_classification_report_shape(blobs):
+    from tpumcia.utils.metrics import classification_report, accuracy
+
+    X, y = blobs
+    head = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=200))
+    pred = head.predict(X)
+    rep = classification_report(y, pred)
+    assert "precision" in rep and "weighted avg" in rep
+    assert 0.9 < accuracy(y, pred) <= 1.0
+
+
+def test_split_modes():
+    from tpumcia.utils.split import train_test_split_indices
+
+    y = np.repeat(np.arange(4), 25)
+    s = train_test_split_indices(100, test_size=0.25, seed=0)
+    assert len(s.test_idx) == 25 and len(s.train_idx) == 75
+    assert len(np.intersect1d(s.train_idx, s.test_idx)) == 0
+
+    s2 = train_test_split_indices(100, test_size=0.2, seed=0, stratify=y)
+    test_labels = y[s2.test_idx]
+    for cls in range(4):
+        assert np.sum(test_labels == cls) == 5
+
+    groups = np.repeat(np.arange(10), 10)
+    s3 = train_test_split_indices(100, test_size=0.3, seed=1, groups=groups)
+    assert len(np.intersect1d(groups[s3.train_idx], groups[s3.test_idx])) == 0
+
+    # determinism
+    s4 = train_test_split_indices(100, test_size=0.25, seed=0)
+    np.testing.assert_array_equal(s.test_idx, s4.test_idx)

@@ -1,0 +1,125 @@
+"""Importance subsystem: device permutation sweep, channel aggregation,
+ablation, and the end-to-end 'Ch1 ranked first' integration contract."""
+
+import numpy as np
+import pytest
+
+from tpumcia.config import HeadConfig, ImportanceConfig
+from tpumcia.importance import (
+    aggregate_channel_importance,
+    channel_ablation_importance,
+    channel_importance,
+    permutation_importance,
+)
+from tpumcia.models import fit_head
+
+
+@pytest.fixture(scope="module")
+def informative_data():
+    """10 features; only features 0 and 3 carry label signal."""
+    rng = np.random.default_rng(11)
+    n = 400
+    y = rng.integers(0, 3, n)
+    X = rng.normal(0, 1, size=(n, 10)).astype(np.float32)
+    X[:, 0] += y * 2.0
+    X[:, 3] -= y * 1.5
+    return X, y
+
+
+def test_device_permutation_finds_informative_features(informative_data):
+    X, y = informative_data
+    head = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=400))
+    res = permutation_importance(head, X, y, n_repeats=5, seed=42)
+    assert res.importances.shape == (10, 5)
+    assert res.baseline_score > 0.8
+    top2 = set(res.ranking()[:2])
+    assert top2 == {0, 3}
+    # uninformative features have ~zero importance
+    assert np.all(np.abs(res.importances_mean[[1, 2, 4, 5]]) < 0.05)
+
+
+def test_device_permutation_matches_host_semantics(informative_data):
+    """Device sweep and sklearn's host implementation agree on rankings."""
+    from tpumcia.importance.permutation import permutation_importance_host
+
+    X, y = informative_data
+    head = fit_head(X, y, config=HeadConfig(kind="random_forest", n_estimators=15))
+    dev = permutation_importance(head, X, y, n_repeats=5, seed=42)
+    host = permutation_importance_host(head, X, y, n_repeats=5, seed=42)
+    assert set(dev.ranking()[:2]) == set(host.ranking()[:2]) == {0, 3}
+
+
+def test_permutation_deterministic(informative_data):
+    X, y = informative_data
+    head = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=200))
+    r1 = permutation_importance(head, X, y, n_repeats=3, seed=7)
+    r2 = permutation_importance(head, X, y, n_repeats=3, seed=7)
+    np.testing.assert_array_equal(r1.importances, r2.importances)
+
+
+def test_aggregate_exact_vs_substring():
+    # 12 channels x 1 feature: substring matching corrupts Ch1 with Ch10-12
+    names = [f"mean_intensity_Ch{c + 1}" for c in range(12)]
+    imp = np.linspace(0.2, 0.9, 12)
+    exact = aggregate_channel_importance(imp, names, 12, threshold=0.0, match="exact")
+    sub = aggregate_channel_importance(imp, names, 12, threshold=0.0, match="substring")
+    assert len(exact.per_channel[0]) == 1
+    assert len(sub.per_channel[0]) == 4  # Ch1 also matches Ch10, Ch11, Ch12
+    np.testing.assert_allclose(exact.total, imp)
+
+
+def test_aggregate_threshold():
+    names = ["a_Ch1", "b_Ch1", "a_Ch2", "b_Ch2"]
+    imp = np.array([0.5, 0.005, 0.3, 0.02])
+    res = aggregate_channel_importance(imp, names, 2, threshold=0.01)
+    assert len(res.per_channel[0]) == 1  # 0.005 filtered out
+    assert len(res.per_channel[1]) == 2
+    assert res.top_channel() == 0
+
+
+def test_ablation(informative_data):
+    X, y = informative_data
+    head = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=400))
+    groups = [[0, 3], [1, 2], [4, 5, 6]]
+    drops = channel_ablation_importance(head, X, y, groups)
+    assert drops.shape == (3,)
+    assert drops[0] > 0.2  # ablating informative features hurts
+    assert np.all(np.abs(drops[1:]) < 0.08)
+
+
+@pytest.mark.slow
+def test_end_to_end_channel_ranking(rng):
+    """The reference's headline result: Ch1 (signal) ranked above the noise
+    channels by both importance methods (notebook markdown cells 24/27)."""
+    from tpumcia.config import FeatureConfig
+    from tpumcia.features.extract import extract_features
+    from tpumcia.io.synthetic import synthetic_multichannel
+    from tpumcia.utils.split import train_test_split_indices
+
+    images, labels, _ = synthetic_multichannel(30, num_classes=4, seed=5)
+    fm = extract_features(images, config=FeatureConfig(use_pallas="never"))
+    X = np.nan_to_num(np.asarray(fm.values, dtype=np.float32))
+    split = train_test_split_indices(len(X), test_size=0.25, seed=0, stratify=labels)
+
+    for kind in ("logistic", "random_forest"):
+        head = fit_head(
+            X[split.train_idx],
+            labels[split.train_idx],
+            config=HeadConfig(kind=kind, num_steps=400, n_estimators=30),
+        )
+        assert head.score(X[split.test_idx], labels[split.test_idx]) > 0.7
+
+        fm_test = type(fm)(
+            values=X[split.test_idx],
+            names=fm.names,
+            num_channels=fm.num_channels,
+        )
+        for method in ("permutation", "auto"):
+            res = channel_importance(
+                head,
+                fm_test,
+                labels[split.test_idx],
+                method=method,
+                config=ImportanceConfig(n_repeats=5),
+            )
+            assert res.top_channel() == 0, (kind, method, res.summary())

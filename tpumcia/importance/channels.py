@@ -1,0 +1,214 @@
+"""Channel-importance aggregation and the high-level channel_importance API.
+
+The reference aggregates per-feature MDI importances into channels by *name
+substring* ("Ch1" in name) with a 0.01 floor (ipynb:458-462) — which both
+breaks at >= 10 channels ("Ch1" matches "Ch10") and silently drops features.
+The default here groups by the parsed channel index
+(``registry.columns_by_channel``); ``match='substring'`` replicates the
+reference behaviour for compat.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from tpumcia.config import ImportanceConfig
+from tpumcia.features import registry
+from tpumcia.features.extract import FeatureMatrix
+
+
+@dataclass
+class ChannelImportanceResult:
+    per_channel: list[np.ndarray]  # filtered importance values per channel
+    mean: np.ndarray  # (C,) mean of filtered values (0 if none)
+    total: np.ndarray  # (C,) sum of filtered values
+    ranking: np.ndarray  # channel indices sorted by total, descending
+    feature_importances: np.ndarray  # (F,) the per-feature values aggregated
+    feature_names: list[str]
+    method: str = "mdi"
+    extras: dict = field(default_factory=dict)
+
+    @property
+    def num_channels(self) -> int:
+        return len(self.per_channel)
+
+    def top_channel(self) -> int:
+        return int(self.ranking[0])
+
+    def summary(self) -> str:
+        lines = [f"channel importance ({self.method}):"]
+        for c in self.ranking:
+            lines.append(
+                f"  Ch{c + 1}: total={self.total[c]:.4f} mean={self.mean[c]:.4f} "
+                f"n={len(self.per_channel[c])}"
+            )
+        return "\n".join(lines)
+
+
+def aggregate_channel_importance(
+    importances,
+    names: list[str],
+    num_channels: int,
+    *,
+    threshold: float = 0.01,
+    match: str = "exact",
+    method: str = "mdi",
+) -> ChannelImportanceResult:
+    """Group per-feature importances into per-channel distributions.
+
+    ``threshold`` drops features with importance <= threshold before
+    aggregation (reference ipynb:459: ``value > 0.01``).
+    """
+    imp = np.asarray(importances, dtype=np.float64)
+    if imp.shape[0] != len(names):
+        raise ValueError("importances and names length mismatch")
+    if threshold is None:
+        threshold = -np.inf  # keep everything (incl. zero/negative drops)
+
+    if match == "exact":
+        groups = registry.columns_by_channel(list(names), num_channels)
+    elif match == "substring":
+        # reference semantics (ipynb:462): `"Ch{i}" in name`
+        groups = [
+            [j for j, n in enumerate(names) if f"Ch{c + 1}" in n]
+            for c in range(num_channels)
+        ]
+    else:
+        raise ValueError(f"unknown match mode {match!r}")
+
+    per_channel = []
+    for cols in groups:
+        vals = imp[cols]
+        per_channel.append(vals[vals > threshold])
+    total = np.array([v.sum() for v in per_channel])
+    mean = np.array([v.mean() if len(v) else 0.0 for v in per_channel])
+    return ChannelImportanceResult(
+        per_channel=per_channel,
+        mean=mean,
+        total=total,
+        ranking=np.argsort(total)[::-1],
+        feature_importances=imp,
+        feature_names=list(names),
+        method=method,
+    )
+
+
+def channel_importance(
+    head,
+    features,
+    labels=None,
+    *,
+    method: str = "auto",
+    config: ImportanceConfig | None = None,
+    eval_features=None,
+    eval_labels=None,
+) -> ChannelImportanceResult:
+    """High-level channel importance, mirroring the notebook workflow
+    (cells 23-28): derive per-feature importances from the head, then
+    aggregate per channel.
+
+    methods:
+      * ``'mdi'`` — forest impurity importances (needs a RandomForestHead)
+      * ``'coef'`` — |weight| importances of the logistic head
+      * ``'permutation'`` — batched device permutation importance with each
+        channel's columns shuffled *jointly* (robust to intra-channel
+        feature redundancy), on the evaluation set
+        (eval_features/eval_labels, else features/labels)
+      * ``'permutation_features'`` — reference-style aggregation of
+        per-feature permutation importances (ipynb:493-505)
+      * ``'ablation'`` — per-channel column ablation score drop
+      * ``'auto'`` — mdi for forests, permutation otherwise
+    """
+    from tpumcia.models.heads import LogisticHead, RandomForestHead
+
+    cfg = config or ImportanceConfig()
+    if not isinstance(features, FeatureMatrix):
+        raise TypeError("features must be a FeatureMatrix (need column names)")
+    names = features.names
+    C = features.num_channels
+
+    if method == "auto":
+        method = "mdi" if isinstance(head, RandomForestHead) else "permutation"
+
+    if method == "mdi":
+        if not isinstance(head, RandomForestHead):
+            raise TypeError("mdi requires a RandomForestHead")
+        imp = head.mdi_importance()
+        return aggregate_channel_importance(
+            imp, names, C, threshold=cfg.mdi_threshold, match=cfg.channel_match,
+            method="mdi",
+        )
+
+    if method == "coef":
+        if not isinstance(head, LogisticHead):
+            raise TypeError("coef requires a LogisticHead")
+        imp = head.coefficient_importance()
+        return aggregate_channel_importance(
+            imp, names, C, threshold=cfg.mdi_threshold, match=cfg.channel_match,
+            method="coef",
+        )
+
+    X = (eval_features.values if isinstance(eval_features, FeatureMatrix)
+         else eval_features)
+    y = eval_labels
+    if X is None:
+        X, y = features.values, labels
+    if y is None:
+        raise ValueError(f"method {method!r} needs labels for scoring")
+
+    if method == "permutation":
+        from tpumcia.importance.permutation import permutation_importance
+
+        groups = registry.columns_by_channel(names, C)
+        res = permutation_importance(
+            head, np.asarray(X), y, n_repeats=cfg.n_repeats, seed=cfg.seed,
+            groups=groups,
+        )
+        per_channel = [res.importances[c] for c in range(C)]
+        total = res.importances_mean.copy()
+        out = ChannelImportanceResult(
+            per_channel=per_channel,
+            mean=total,
+            total=total,
+            ranking=np.argsort(total)[::-1],
+            feature_importances=np.zeros(len(names)),
+            feature_names=names,
+            method="permutation",
+        )
+        out.extras["permutation"] = res
+        return out
+
+    if method == "permutation_features":
+        from tpumcia.importance.permutation import permutation_importance
+
+        res = permutation_importance(
+            head, np.asarray(X), y, n_repeats=cfg.n_repeats, seed=cfg.seed
+        )
+        out = aggregate_channel_importance(
+            res.importances_mean, names, C, threshold=None,
+            match=cfg.channel_match, method="permutation_features",
+        )
+        out.extras["permutation"] = res
+        return out
+
+    if method == "ablation":
+        from tpumcia.importance.ablation import channel_ablation_importance
+
+        drops = channel_ablation_importance(
+            head, np.asarray(X), y,
+            registry.columns_by_channel(names, C),
+        )
+        per_channel = [np.array([d]) for d in drops]
+        return ChannelImportanceResult(
+            per_channel=per_channel,
+            mean=drops,
+            total=drops,
+            ranking=np.argsort(drops)[::-1],
+            feature_importances=np.zeros(len(names)),
+            feature_names=names,
+            method="ablation",
+        )
+
+    raise ValueError(f"unknown method {method!r}")

@@ -1,0 +1,228 @@
+"""Classifier heads over the feature matrix.
+
+Two head families per BASELINE.json config 2:
+
+* :class:`LogisticHead` — a device-resident multinomial logistic regression
+  trained with optax under one jitted ``lax.fori_loop``. Fully TPU-native:
+  its scoring path composes with vmap/pjit, which is what makes the batched
+  permutation-importance sweep a single device computation
+  (``importance/permutation.py``) instead of the reference's joblib process
+  pool (ipynb:495-496).
+* :class:`RandomForestHead` — an adapter over sklearn's
+  ``RandomForestClassifier`` (the reference's head, ipynb:404, but seeded).
+  Tree *building* does not map to TPU (SURVEY.md §7 "hard parts"); inference
+  can still run on device via ``models.forest_device``.
+
+``fit_head`` is the public entry point, mirroring notebook cells 19-20
+(scale -> fit).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tpumcia.config import HeadConfig
+from tpumcia.models.scaler import MinMaxScaler
+
+
+# ---------------------------------------------------------------------------
+# Logistic head (device-resident)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "lr", "l2"))
+def _fit_logistic(X, y_onehot, w0, b0, *, num_steps: int, lr: float, l2: float):
+    opt = optax.adam(lr)
+
+    def loss_fn(params):
+        logits = X @ params["w"] + params["b"]
+        ce = optax.softmax_cross_entropy(logits, y_onehot).mean()
+        reg = l2 * jnp.sum(params["w"] ** 2)
+        return ce + reg
+
+    params = {"w": w0, "b": b0}
+    state = opt.init(params)
+
+    def step(_, carry):
+        params, state = carry
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    params, _ = jax.lax.fori_loop(0, num_steps, step, (params, state))
+    return params
+
+
+def logistic_predict_logits(params, X):
+    """Pure scoring function — composes with jit/vmap/pjit."""
+    return jnp.asarray(X) @ params["w"] + params["b"]
+
+
+@dataclass
+class LogisticHead:
+    params: dict[str, jax.Array]
+    classes: np.ndarray
+    scaler: MinMaxScaler | None = None
+    config: HeadConfig = field(default_factory=HeadConfig)
+
+    is_device: bool = True
+
+    def _prep(self, X):
+        X = jnp.asarray(X)
+        return self.scaler.transform(X) if self.scaler is not None else X
+
+    def predict_logits(self, X) -> jax.Array:
+        return logistic_predict_logits(self.params, self._prep(X))
+
+    def predict_proba(self, X) -> jax.Array:
+        return jax.nn.softmax(self.predict_logits(X), axis=-1)
+
+    def predict(self, X) -> np.ndarray:
+        idx = np.asarray(jnp.argmax(self.predict_logits(X), axis=-1))
+        return self.classes[idx]
+
+    def score(self, X, y) -> float:
+        """Mean accuracy (sklearn's classifier ``score`` contract)."""
+        return float(np.mean(self.predict(X) == np.asarray(y)))
+
+    def coefficient_importance(self) -> np.ndarray:
+        """Normalised mean |weight| per feature — a linear-model analogue of
+        the forest's MDI ranking (documented proxy, not an MDI)."""
+        w = np.abs(np.asarray(self.params["w"])).mean(axis=1)
+        s = w.sum()
+        return w / s if s > 0 else w
+
+    @classmethod
+    def fit(
+        cls,
+        X,
+        y,
+        *,
+        config: HeadConfig | None = None,
+        scaler: MinMaxScaler | None = None,
+        key: jax.Array | None = None,
+    ) -> "LogisticHead":
+        cfg = config or HeadConfig()
+        y = np.asarray(y)
+        classes, y_idx = np.unique(y, return_inverse=True)
+        X = jnp.asarray(X, jnp.float32)
+        if scaler is not None:
+            X = scaler.transform(X)
+        num_classes = len(classes)
+        F = X.shape[1]
+        key = key if key is not None else jax.random.key(cfg.seed)
+        w0 = jax.random.normal(key, (F, num_classes), jnp.float32) * 0.01
+        b0 = jnp.zeros((num_classes,), jnp.float32)
+        y_onehot = jax.nn.one_hot(jnp.asarray(y_idx), num_classes)
+        params = _fit_logistic(
+            X,
+            y_onehot,
+            w0,
+            b0,
+            num_steps=cfg.num_steps,
+            lr=cfg.learning_rate,
+            l2=cfg.l2,
+        )
+        return cls(params=params, classes=classes, scaler=scaler, config=cfg)
+
+
+# ---------------------------------------------------------------------------
+# Random forest head (sklearn adapter)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RandomForestHead:
+    model: Any
+    classes: np.ndarray
+    scaler: MinMaxScaler | None = None
+    config: HeadConfig = field(default_factory=HeadConfig)
+
+    is_device: bool = False
+
+    def _prep(self, X) -> np.ndarray:
+        X = np.asarray(X)
+        if self.scaler is not None:
+            X = np.asarray(self.scaler.transform(X))
+        return X
+
+    def predict(self, X) -> np.ndarray:
+        return self.model.predict(self._prep(X))
+
+    def predict_proba(self, X) -> np.ndarray:
+        return self.model.predict_proba(self._prep(X))
+
+    def score(self, X, y) -> float:
+        return float(np.mean(self.predict(X) == np.asarray(y)))
+
+    def mdi_importance(self) -> np.ndarray:
+        """Mean-decrease-in-impurity importances (the reference's
+        ``model.feature_importances_``, ipynb:434)."""
+        return np.asarray(self.model.feature_importances_)
+
+    def to_device(self):
+        """Compile the fitted forest into device arrays for TPU inference."""
+        from tpumcia.models.forest_device import DeviceForest
+
+        return DeviceForest.from_sklearn(self.model, self.classes, self.scaler)
+
+    @classmethod
+    def fit(
+        cls,
+        X,
+        y,
+        *,
+        config: HeadConfig | None = None,
+        scaler: MinMaxScaler | None = None,
+    ) -> "RandomForestHead":
+        from sklearn.ensemble import RandomForestClassifier
+
+        cfg = config or HeadConfig(kind="random_forest")
+        X = np.asarray(X)
+        if scaler is not None:
+            X = np.asarray(scaler.transform(X))
+        model = RandomForestClassifier(
+            n_estimators=cfg.n_estimators,
+            max_depth=cfg.max_depth,
+            random_state=cfg.seed,
+            n_jobs=-1,
+        )
+        model.fit(X, np.asarray(y))
+        return cls(model=model, classes=model.classes_, scaler=scaler, config=cfg)
+
+
+# ---------------------------------------------------------------------------
+# Public entry point
+# ---------------------------------------------------------------------------
+
+
+def fit_head(
+    features,
+    labels,
+    *,
+    config: HeadConfig | None = None,
+    scale: bool = True,
+    key: jax.Array | None = None,
+):
+    """Scale (MinMax, fit on the given data) and fit the configured head.
+
+    ``features`` may be a FeatureMatrix or a raw (N, F) array. Mirrors the
+    notebook's scale->fit flow (ipynb:389-406); splitting is the caller's
+    concern (see ``utils.split``).
+    """
+    cfg = config or HeadConfig()
+    X = getattr(features, "values", features)
+    X = np.asarray(X, dtype=np.float32)
+    scaler = MinMaxScaler.fit(X) if scale else None
+    if cfg.kind == "logistic":
+        return LogisticHead.fit(X, labels, config=cfg, scaler=scaler, key=key)
+    if cfg.kind == "random_forest":
+        return RandomForestHead.fit(X, labels, config=cfg, scaler=scaler)
+    raise ValueError(f"unknown head kind {cfg.kind!r}")
