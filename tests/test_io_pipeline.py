@@ -1,0 +1,194 @@
+"""IO (h5 contract, folder index, prefetch) and streaming-pipeline tests."""
+
+import numpy as np
+import pytest
+
+from tpumcia.io.h5 import ObjectBatch, load_objects, read_object, write_object
+from tpumcia.io.loader import PrefetchLoader, batched_indices
+from tpumcia.io.synthetic import synthetic_mednist, synthetic_multichannel
+from tpumcia.pipeline.streaming import load_feature_shards, stream_extract
+
+
+@pytest.fixture
+def h5_objects(tmp_path, rng):
+    paths = []
+    for i in range(6):
+        h = int(rng.integers(20, 40))
+        w = int(rng.integers(20, 40))
+        img = (rng.random((h, w, 3)) * 65535).astype(np.uint16)
+        msk = (rng.random((h, w, 3)) > 0.4).astype(np.uint8)
+        p = tmp_path / f"{1000 + i}.h5"
+        write_object(
+            p,
+            img,
+            mask=msk,
+            label=["tcell", "bcell"][i % 2],
+            donor=f"D{i % 3}",
+            experiment="exp1",
+            channels=["BF", "GFP", "DAPI"],
+        )
+        paths.append(p)
+    return tmp_path, paths
+
+
+def test_h5_round_trip(h5_objects):
+    root, paths = h5_objects
+    obj = read_object(paths[0])
+    assert obj["image"].dtype == np.uint16
+    assert obj["label"] in ("tcell", "bcell")
+    assert obj["channels"] == ["BF", "GFP", "DAPI"]
+    assert obj["id"] == "1000"
+
+
+def test_load_objects_standardises_shapes(h5_objects):
+    root, paths = h5_objects
+    batch = load_objects(root)
+    assert isinstance(batch, ObjectBatch)
+    assert len(batch) == 6
+    B, H, W, C = batch.images.shape
+    assert C == 3 and batch.masks.shape == batch.images.shape
+    assert set(batch.labels) == {"tcell", "bcell"}
+    assert batch.channels == ["BF", "GFP", "DAPI"]
+    assert batch.ids[0] == "1000"
+
+    fixed = load_objects(root, target_hw=(48, 48))
+    assert fixed.images.shape[1:3] == (48, 48)
+
+
+def test_load_objects_missing_image_key(tmp_path):
+    import h5py
+
+    with h5py.File(tmp_path / "bad.h5", "w") as f:
+        f.create_dataset("mask", data=np.zeros((4, 4, 1)))
+    with pytest.raises(KeyError):
+        load_objects(tmp_path)
+
+
+def test_h5_to_features_end_to_end(h5_objects):
+    from tpumcia.config import FeatureConfig
+    from tpumcia.features.extract import extract_features
+    from tpumcia.preprocess.normalize import quantize_to_levels
+
+    root, _ = h5_objects
+    batch = load_objects(root)
+    levels = np.asarray(
+        quantize_to_levels(batch.images, levels=256, src_levels=65536)
+    )
+    fm = extract_features(
+        levels,
+        mask=batch.masks,
+        config=FeatureConfig(use_pallas="never"),
+        channel_names=batch.channels,
+    )
+    assert fm.shape == (6, 69)
+    assert fm.names[0] == "min_intensity_BF"
+    assert np.isfinite(np.nan_to_num(np.asarray(fm.values))).all()
+
+
+def test_folder_index(tmp_path, rng):
+    import imageio.v3 as iio
+
+    from tpumcia.io.mednist import index_image_folder, load_images
+
+    for cls in ("abd", "cxr"):
+        (tmp_path / cls).mkdir()
+        for i in range(3):
+            arr = (rng.random((16, 16)) * 255).astype(np.uint8)
+            iio.imwrite(tmp_path / cls / f"{i}.png", arr)
+    idx = index_image_folder(tmp_path)
+    assert idx.class_names == ["abd", "cxr"]
+    assert len(idx) == 6
+    np.testing.assert_array_equal(np.unique(idx.labels), [0, 1])
+    imgs = load_images(idx.files)
+    assert imgs.shape == (6, 16, 16)
+
+
+def test_prefetch_loader_order_and_errors():
+    fetched = []
+
+    def fetch(idx):
+        fetched.append(idx[0])
+        return idx * 2
+
+    out = list(PrefetchLoader(fetch, 10, 3))
+    np.testing.assert_array_equal(np.concatenate(out), np.arange(10) * 2)
+    assert len(out) == 4
+
+    def bad_fetch(idx):
+        raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(PrefetchLoader(bad_fetch, 4, 2))
+
+    assert [len(c) for c in batched_indices(10, 4, drop_remainder=True)] == [4, 4]
+
+
+def test_stream_extract_resume(tmp_path):
+    from tpumcia.config import FeatureConfig
+
+    images, labels, _ = synthetic_multichannel(4, num_classes=3, seed=2)
+    calls = []
+
+    def fetch(idx):
+        calls.append(tuple(idx))
+        return images[idx], None, labels[idx]
+
+    cfg = FeatureConfig(use_pallas="never")
+    out = tmp_path / "features"
+    res1 = stream_extract(fetch, len(images), out, shard_size=5, config=cfg)
+    assert res1.shards_computed == 3 and res1.shards_skipped == 0
+    assert res1.features.shape == (12, 69)
+    np.testing.assert_array_equal(res1.labels, labels)
+
+    # resume: nothing recomputed
+    n_calls = len(calls)
+    res2 = stream_extract(fetch, len(images), out, shard_size=5, config=cfg)
+    assert res2.shards_computed == 0 and res2.shards_skipped == 3
+    assert len(calls) == n_calls
+    np.testing.assert_array_equal(
+        np.asarray(res2.features.values), np.asarray(res1.features.values)
+    )
+
+    # partial failure: delete one shard -> only that one recomputed
+    (out / "shard_000000005.npz").unlink()
+    import json
+
+    m = json.loads((out / "manifest.json").read_text())
+    res3 = stream_extract(fetch, len(images), out, shard_size=5, config=cfg)
+    assert res3.shards_computed == 1 and res3.shards_skipped == 2
+
+    fm, lab = load_feature_shards(out)
+    assert fm.shape == (12, 69)
+
+
+def test_stream_config_tag_guard(tmp_path):
+    images, labels, _ = synthetic_multichannel(2, num_classes=2, seed=0)
+
+    def fetch(idx):
+        return images[idx], None, labels[idx]
+
+    from tpumcia.config import FeatureConfig
+
+    cfg = FeatureConfig(use_pallas="never")
+    stream_extract(fetch, 4, tmp_path / "f", shard_size=4, config=cfg, config_tag="a")
+    with pytest.raises(ValueError, match="config_tag"):
+        stream_extract(
+            fetch, 4, tmp_path / "f", shard_size=4, config=cfg, config_tag="b"
+        )
+
+
+def test_run_pipeline_smoke():
+    from tpumcia.config import FeatureConfig, HeadConfig, ImportanceConfig, PipelineConfig
+    from tpumcia.pipeline.run import run_pipeline
+
+    images, labels, _ = synthetic_multichannel(12, num_classes=3, seed=4)
+    cfg = PipelineConfig(
+        features=FeatureConfig(use_pallas="never"),
+        head=HeadConfig(kind="logistic", num_steps=300),
+        importance=ImportanceConfig(n_repeats=4),
+    )
+    res = run_pipeline(images, labels, config=cfg)
+    assert res.test_accuracy > 0.5
+    assert res.channel_result.top_channel() == 0
+    assert "precision" in res.report
+    assert res.timings["features_s"] > 0

@@ -1,0 +1,176 @@
+"""HDF5 per-object ingestion — the reference's real public data contract.
+
+README.md:5-14 defines one HDF5 file per cell object with keys:
+
+  * ``image``      (h, w, c) 16-bit array           [required]
+  * ``mask``       (h, w, c) array                  [optional]
+  * ``label``      str                              [optional]
+  * ``donor``      str                              [optional]
+  * ``experiment`` str                              [optional]
+  * ``channels``   list of channel names            [optional]
+  * filename = object number in the source .cif file
+
+The reference repository contains no code for this contract (the notebook
+reads MedNIST PNGs); this module implements it: batched ingestion into
+(B, H, W, C) device-ready arrays plus a host-side metadata table, with
+variable-size crops standardised by center crop/pad.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from tpumcia.preprocess.normalize import center_crop_or_pad
+
+
+@dataclass
+class ObjectBatch:
+    """A batch of cell objects plus metadata (host side)."""
+
+    images: np.ndarray  # (B, H, W, C) uint16/uint8
+    masks: np.ndarray | None  # (B, H, W, C) uint8/bool or None
+    labels: np.ndarray | None  # (B,) object labels (str) or None
+    donors: np.ndarray | None
+    experiments: np.ndarray | None
+    channels: list[str] | None  # channel names
+    ids: list[str] = field(default_factory=list)  # object ids (filenames)
+
+    def __len__(self):
+        return len(self.images)
+
+    @property
+    def num_channels(self) -> int:
+        return self.images.shape[-1]
+
+
+def write_object(
+    path: str | Path,
+    image: np.ndarray,
+    *,
+    mask: np.ndarray | None = None,
+    label: str | None = None,
+    donor: str | None = None,
+    experiment: str | None = None,
+    channels: list[str] | None = None,
+) -> None:
+    """Write one object file in the README contract layout."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("image", data=np.asarray(image))
+        if mask is not None:
+            f.create_dataset("mask", data=np.asarray(mask))
+        if label is not None:
+            f.create_dataset("label", data=np.bytes_(label))
+        if donor is not None:
+            f.create_dataset("donor", data=np.bytes_(donor))
+        if experiment is not None:
+            f.create_dataset("experiment", data=np.bytes_(experiment))
+        if channels is not None:
+            f.create_dataset(
+                "channels", data=np.array([np.bytes_(c) for c in channels])
+            )
+
+
+def _read_str(f, key) -> str | None:
+    if key not in f:
+        return None
+    v = f[key][()]
+    if isinstance(v, bytes):
+        return v.decode()
+    return str(v)
+
+
+def read_object(path: str | Path) -> dict:
+    """Read one object file -> dict of the contract keys (missing -> None)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        if "image" not in f:
+            raise KeyError(f"{path}: missing required key 'image'")
+        out = {
+            "image": np.asarray(f["image"]),
+            "mask": np.asarray(f["mask"]) if "mask" in f else None,
+            "label": _read_str(f, "label"),
+            "donor": _read_str(f, "donor"),
+            "experiment": _read_str(f, "experiment"),
+            "channels": None,
+            "id": Path(path).stem,
+        }
+        if "channels" in f:
+            raw = f["channels"][()]
+            out["channels"] = [
+                c.decode() if isinstance(c, bytes) else str(c) for c in raw
+            ]
+    return out
+
+
+def list_object_files(root: str | Path) -> list[Path]:
+    """Sorted .h5/.hdf5 files under ``root`` (recursive)."""
+    root = Path(root)
+    files = sorted(
+        p for p in root.rglob("*") if p.suffix.lower() in (".h5", ".hdf5")
+    )
+    if not files:
+        raise FileNotFoundError(f"no .h5/.hdf5 object files under {root}")
+    return files
+
+
+def load_objects(
+    source,
+    *,
+    target_hw: tuple[int, int] | None = None,
+    limit: int | None = None,
+) -> ObjectBatch:
+    """Load a directory (or explicit list) of per-object h5 files into one
+    batch. Variable-size crops are standardised to ``target_hw`` (default:
+    the max H/W over the batch) by center crop/pad; masks are padded with 0.
+    """
+    if isinstance(source, (str, Path)):
+        paths = list_object_files(source)
+    else:
+        paths = [Path(p) for p in source]
+    if limit is not None:
+        paths = paths[:limit]
+
+    objs = [read_object(p) for p in paths]
+    shapes = np.array([o["image"].shape for o in objs])
+    if shapes.shape[1] != 3:
+        raise ValueError("object images must be (h, w, c)")
+    C = int(shapes[0, 2])
+    if not (shapes[:, 2] == C).all():
+        raise ValueError("inconsistent channel counts across objects")
+    if target_hw is None:
+        target_hw = (int(shapes[:, 0].max()), int(shapes[:, 1].max()))
+
+    def stack(key, dtype=None):
+        arrs = []
+        for o in objs:
+            a = o[key]
+            if a is None:
+                return None
+            arrs.append(np.asarray(center_crop_or_pad(np.asarray(a)[None], target_hw))[0])
+        out = np.stack(arrs)
+        return out.astype(dtype) if dtype else out
+
+    images = stack("image")
+    masks = stack("mask")
+
+    def meta(key):
+        vals = [o[key] for o in objs]
+        return np.array(vals) if any(v is not None for v in vals) else None
+
+    channels = next((o["channels"] for o in objs if o["channels"]), None)
+    return ObjectBatch(
+        images=images,
+        masks=masks,
+        labels=meta("label"),
+        donors=meta("donor"),
+        experiments=meta("experiment"),
+        channels=channels,
+        ids=[o["id"] for o in objs],
+    )

@@ -1,0 +1,201 @@
+"""Multi-device (SPMD) execution of the feature/importance pipeline.
+
+The reference's only concurrency is a joblib process pool inside
+``permutation_importance`` (ipynb:495-496). Here the TPU-native equivalents:
+
+* ``extract_features_sharded`` — objects sharded over the ``data`` mesh axis
+  with ``shard_map``; each device reduces its local shard with the same
+  sufficient-statistics kernel, no cross-device traffic (embarrassingly
+  parallel per SURVEY.md §2.4).
+* ``fit_scaler_sharded`` — per-shard min/max combined with
+  ``lax.pmin/pmax`` over ICI — the psum-style global reduction the
+  MinMaxScaler needs (SURVEY.md §5 "distributed communication").
+* ``permutation_importance_sharded`` — the (group, repeat) sweep sharded
+  over devices: X replicated, group masks split over ``data``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpumcia.features import registry
+from tpumcia.features.extract import FeatureMatrix
+from tpumcia.features.finalize import finalize_features
+from tpumcia.features.stats import SuffStats, _single_image_stats, rescale_lut, _prep_inputs
+from tpumcia.models.scaler import MinMaxScaler
+
+
+def _pad_to_multiple(arr, m: int):
+    b = arr.shape[0]
+    pad = (-b) % m
+    if pad == 0:
+        return arr, b
+    pad_block = jnp.zeros((pad,) + arr.shape[1:], arr.dtype)
+    return jnp.concatenate([arr, pad_block], axis=0), b
+
+
+def sufficient_stats_sharded(
+    images,
+    mask=None,
+    *,
+    mesh: Mesh,
+    levels: int = 256,
+    offset: tuple[int, int] = (0, 5),
+    chunk_size: int = 32,
+    onehot_dtype: str = "bfloat16",
+) -> SuffStats:
+    """Per-(image, channel) sufficient statistics with the batch sharded over
+    the mesh's ``data`` axis. Output stats stay sharded the same way."""
+    img, w = _prep_inputs(images, mask)
+    n_data = mesh.shape["data"]
+    img, orig_b = _pad_to_multiple(img, n_data)
+    w, _ = _pad_to_multiple(w, n_data)
+    lut = jnp.asarray(rescale_lut(levels))
+
+    one = functools.partial(
+        _single_image_stats,
+        lut=lut,
+        levels=levels,
+        offset=offset,
+        onehot_dtype=jnp.dtype(onehot_dtype),
+        with_intensity=True,
+        with_glcm=True,
+    )
+
+    def local(img_l, w_l):
+        bs = min(chunk_size, img_l.shape[0])
+        return jax.lax.map(
+            lambda xw: one(xw[0], xw[1]), (img_l, w_l), batch_size=bs
+        )
+
+    spec_in = P("data")
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_in, spec_in),
+        out_specs=SuffStats(*([spec_in] * len(SuffStats._fields))),
+    )
+    stats = jax.jit(fn)(img, w)
+    return SuffStats(*(s[:orig_b] for s in stats))
+
+
+def extract_features_sharded(
+    images,
+    mask=None,
+    *,
+    mesh: Mesh,
+    levels: int = 256,
+    offset: tuple[int, int] = (0, 5),
+    chunk_size: int = 32,
+    precision: str = "exact",
+    channel_names: list[str] | None = None,
+) -> FeatureMatrix:
+    stats = sufficient_stats_sharded(
+        images, mask, mesh=mesh, levels=levels, offset=offset, chunk_size=chunk_size
+    )
+    backend = "host" if precision == "exact" else "device"
+    done = finalize_features(stats, backend=backend)
+    C = images.shape[-1]
+    return FeatureMatrix(
+        values=done.values,
+        names=registry.feature_names(C, channel_names=channel_names),
+        num_channels=C,
+        degenerate=done.degenerate,
+    )
+
+
+def fit_scaler_sharded(X, *, mesh: Mesh) -> MinMaxScaler:
+    """Global per-feature min/max over a data-sharded matrix, reduced with
+    collectives over the mesh (the multi-device MinMaxScaler fit)."""
+    X = jnp.asarray(X, jnp.float32)
+    n_data = mesh.shape["data"]
+    Xp, orig = _pad_to_multiple(X, n_data)
+    # pad rows must not perturb min/max: replicate row 0
+    if Xp.shape[0] != orig:
+        Xp = Xp.at[orig:].set(Xp[0])
+
+    def local(xs):
+        lo = jnp.min(xs, axis=0, keepdims=True)
+        hi = jnp.max(xs, axis=0, keepdims=True)
+        lo = jax.lax.pmin(lo, "data")
+        hi = jax.lax.pmax(hi, "data")
+        return lo, hi
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P("data"),), out_specs=(P(), P())
+    )
+    lo, hi = jax.jit(fn)(Xp)
+    return MinMaxScaler.from_stats(lo[0], hi[0])
+
+
+def permutation_importance_sharded(
+    head,
+    X,
+    y,
+    *,
+    mesh: Mesh,
+    n_repeats: int = 10,
+    seed: int = 42,
+    groups: list[list[int]] | None = None,
+):
+    """The device permutation sweep with groups sharded over the mesh's
+    ``data`` axis (X and the head replicated on every device)."""
+    from tpumcia.importance.permutation import (
+        PermutationResult,
+        _device_score_parts,
+    )
+
+    apply_fn, classes = _device_score_parts(head)
+    y = np.asarray(y)
+    cls_to_idx = {c: i for i, c in enumerate(classes)}
+    y_idx = jnp.asarray(np.array([cls_to_idx[v] for v in y], np.int32))
+    X = jnp.asarray(X, jnp.float32)
+    F = X.shape[1]
+
+    if groups is None:
+        masks = np.eye(F, dtype=np.float32)
+    else:
+        masks = np.zeros((len(groups), F), np.float32)
+        for g, cols in enumerate(groups):
+            masks[g, cols] = 1.0
+    G = masks.shape[0]
+    n_data = mesh.shape["data"]
+    masks_p, _ = _pad_to_multiple(jnp.asarray(masks), n_data)
+    keys = jax.random.split(jax.random.key(seed), masks_p.shape[0] * n_repeats)
+    keys = keys.reshape(masks_p.shape[0], n_repeats)
+
+    def accuracy(Xp):
+        pred = jnp.argmax(apply_fn(Xp), axis=-1)
+        return jnp.mean((pred == y_idx).astype(jnp.float32))
+
+    def local(masks_l, keys_l):
+        def one_group(args):
+            mask, kg = args
+
+            def one_repeat(k):
+                perm = jax.random.permutation(k, X.shape[0])
+                Xp = X * (1 - mask) + jnp.take(X, perm, axis=0) * mask
+                return accuracy(Xp)
+
+            return jax.vmap(one_repeat)(kg)
+
+        return jax.lax.map(one_group, (masks_l, keys_l))
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data")
+    )
+    scores = jax.jit(fn)(masks_p, keys)[:G]
+    baseline = float(accuracy(X))
+    imp = baseline - np.asarray(scores, np.float64)
+    return PermutationResult(
+        importances=imp,
+        importances_mean=imp.mean(axis=1),
+        importances_std=imp.std(axis=1),
+        baseline_score=baseline,
+    )

@@ -1,0 +1,163 @@
+"""Manifest-driven streaming feature extraction with resume.
+
+The reference has no failure handling: an interrupted run just leaves the
+pandas DataFrame partially filled (its own stored output shows the run
+stopped at 11 949/12 000 images — ipynb:353, SURVEY.md §5). Here extraction
+over a large object collection is split into shards; each completed shard is
+written as an ``.npz`` plus an atomically-updated ``manifest.json``, so a
+restarted run skips finished shards and only recomputes the remainder
+(BASELINE.json config 5: "streaming sharded pipeline ... over millions of
+objects").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable
+
+import numpy as np
+
+from tpumcia.config import FeatureConfig
+from tpumcia.features import registry
+from tpumcia.features.extract import FeatureMatrix, extract_features
+
+
+@dataclass
+class StreamResult:
+    features: FeatureMatrix
+    labels: np.ndarray | None
+    shards_computed: int
+    shards_skipped: int
+    images_per_second: float
+
+
+def _manifest_path(out_dir: Path) -> Path:
+    return out_dir / "manifest.json"
+
+
+def _load_manifest(out_dir: Path) -> dict:
+    p = _manifest_path(out_dir)
+    if p.exists():
+        return json.loads(p.read_text())
+    return {"shards": {}, "version": 1}
+
+
+def _save_manifest(out_dir: Path, manifest: dict) -> None:
+    tmp = _manifest_path(out_dir).with_suffix(".tmp")
+    tmp.write_text(json.dumps(manifest, indent=2))
+    os.replace(tmp, _manifest_path(out_dir))  # atomic on POSIX
+
+
+def stream_extract(
+    fetch: Callable[[np.ndarray], tuple],
+    n: int,
+    out_dir: str | Path,
+    *,
+    shard_size: int = 1024,
+    config: FeatureConfig | None = None,
+    config_tag: str | None = None,
+) -> StreamResult:
+    """Extract features over ``n`` objects in resumable shards.
+
+    ``fetch(idx)`` returns ``(images, mask_or_None, labels_or_None)`` for the
+    given index array — typically decoding from disk on host while the TPU
+    reduces the previous shard.
+    """
+    cfg = config or FeatureConfig()
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    manifest = _load_manifest(out_dir)
+    tag = config_tag or "default"
+    if manifest.get("config_tag") not in (None, tag):
+        raise ValueError(
+            f"manifest at {out_dir} was produced with config_tag="
+            f"{manifest.get('config_tag')!r}, refusing to mix with {tag!r}"
+        )
+    manifest["config_tag"] = tag
+
+    shard_ids = list(range(0, n, shard_size))
+    computed = skipped = 0
+    t0 = time.perf_counter()
+    names = None
+    for start in shard_ids:
+        sid = f"shard_{start:09d}"
+        stop = min(start + shard_size, n)
+        entry = manifest["shards"].get(sid)
+        shard_file = out_dir / f"{sid}.npz"
+        if entry and entry.get("status") == "done" and shard_file.exists():
+            skipped += 1
+            continue
+        idx = np.arange(start, stop)
+        images, mask, labels = fetch(idx)
+        fm = extract_features(images, mask=mask, config=cfg)
+        names = fm.names
+        payload = {
+            "values": np.asarray(fm.values),
+            "degenerate": np.asarray(fm.degenerate),
+            "indices": idx,
+        }
+        if labels is not None:
+            payload["labels"] = np.asarray(labels)
+        tmp = shard_file.with_suffix(".tmp.npz")
+        np.savez_compressed(tmp, **payload)
+        os.replace(tmp, shard_file)
+        manifest["shards"][sid] = {
+            "status": "done",
+            "start": int(start),
+            "stop": int(stop),
+            "file": shard_file.name,
+        }
+        _save_manifest(out_dir, manifest)
+        computed += 1
+    elapsed = time.perf_counter() - t0
+
+    fm, labels = load_feature_shards(out_dir, names=names)
+    done_imgs = sum(
+        e["stop"] - e["start"] for e in manifest["shards"].values()
+        if e["status"] == "done"
+    )
+    rate = (computed * shard_size) / elapsed if elapsed > 0 and computed else 0.0
+    return StreamResult(
+        features=fm,
+        labels=labels,
+        shards_computed=computed,
+        shards_skipped=skipped,
+        images_per_second=rate,
+    )
+
+
+def load_feature_shards(
+    out_dir: str | Path, *, names: list[str] | None = None
+) -> tuple[FeatureMatrix, np.ndarray | None]:
+    """Reassemble the full feature matrix (ordered by object index) from a
+    shard directory."""
+    out_dir = Path(out_dir)
+    manifest = _load_manifest(out_dir)
+    entries = sorted(
+        (e for e in manifest["shards"].values() if e["status"] == "done"),
+        key=lambda e: e["start"],
+    )
+    if not entries:
+        raise FileNotFoundError(f"no completed shards in {out_dir}")
+    vals, degs, labels, have_labels = [], [], [], True
+    for e in entries:
+        with np.load(out_dir / e["file"]) as z:
+            vals.append(z["values"])
+            degs.append(z["degenerate"])
+            if "labels" in z:
+                labels.append(z["labels"])
+            else:
+                have_labels = False
+    values = np.concatenate(vals)
+    degenerate = np.concatenate(degs)
+    C = degenerate.shape[1]
+    if names is None:
+        names = registry.feature_names(C)
+    fm = FeatureMatrix(
+        values=values, names=list(names), num_channels=C, degenerate=degenerate
+    )
+    return fm, (np.concatenate(labels) if have_labels and labels else None)
