@@ -1,0 +1,95 @@
+"""CNN path: ResNet forward/train, mesh-sharded training, occlusion
+importance, checkpoint round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpumcia.io.synthetic import synthetic_multichannel
+from tpumcia.models.cnn import make_resnet
+from tpumcia.models.train import CNNConfig, CNNHead, fit_cnn
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    images, labels, _ = synthetic_multichannel(16, num_classes=3, hw=32, seed=9)
+    return images.astype(np.float32) / 255.0, labels
+
+
+@pytest.fixture(scope="module")
+def trained_head(tiny_dataset):
+    images, labels = tiny_dataset
+    cfg = CNNConfig(
+        num_classes=3, width=8, depth="10", epochs=6, batch_size=16,
+        learning_rate=3e-3,
+    )
+    return fit_cnn(images, labels, config=cfg)
+
+
+def test_resnet_forward_shapes():
+    model = make_resnet(5, width=8, depth="10")
+    x = jnp.zeros((2, 32, 32, 7))  # 7-channel stem
+    params = model.init(jax.random.key(0), x)["params"]
+    logits = model.apply({"params": params}, x)
+    assert logits.shape == (2, 5)
+    assert logits.dtype == jnp.float32
+
+
+def test_cnn_learns(trained_head, tiny_dataset):
+    images, labels = tiny_dataset
+    assert trained_head.history[-1]["loss"] < trained_head.history[0]["loss"]
+    assert trained_head.score(images, labels) > 0.6
+
+
+def test_cnn_sharded_training(tiny_dataset):
+    from tpumcia.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device")
+    images, labels, _ = synthetic_multichannel(12, num_classes=4, hw=32, seed=3)
+    images = images.astype(np.float32) / 255.0
+    mesh = make_mesh(data=4, model=2)
+    cfg = CNNConfig(num_classes=4, width=8, depth="10", epochs=2, batch_size=16)
+    head = fit_cnn(images, labels, config=cfg, mesh=mesh)
+    assert head.score(images, labels) >= 0.3  # trained at all
+    # classifier kernel is sharded over the model axis
+    spec = head.params["classifier"]["kernel"].sharding.spec
+    assert "model" in str(spec)
+
+
+def test_channel_occlusion_ranks_signal_channel(trained_head, tiny_dataset):
+    from tpumcia.importance.occlusion import (
+        channel_occlusion_importance,
+        channel_permutation_importance_images,
+    )
+
+    images, labels = tiny_dataset
+    occ = channel_occlusion_importance(trained_head, images, labels)
+    assert occ.shape == (3,)
+    assert occ[0] == occ.max()  # channel 1 carries the signal
+
+    perm = channel_permutation_importance_images(
+        trained_head, images, labels, n_repeats=3
+    )
+    assert perm.shape == (3, 3)
+    assert perm.mean(axis=1)[0] == perm.mean(axis=1).max()
+
+
+def test_occlusion_map_shape(trained_head, tiny_dataset):
+    from tpumcia.importance.occlusion import occlusion_map
+
+    images, labels = tiny_dataset
+    maps = occlusion_map(trained_head, images[:4], labels[:4], window=8, stride=8)
+    assert maps.shape == (4, 4, 4)
+    assert np.isfinite(maps).all()
+
+
+def test_cnn_checkpoint_roundtrip(trained_head, tiny_dataset, tmp_path):
+    images, labels = tiny_dataset
+    path = str(tmp_path / "ckpt")
+    trained_head.save(path)
+    restored = CNNHead.load(path, config=trained_head.config)
+    np.testing.assert_array_equal(
+        restored.predict(images[:8]), trained_head.predict(images[:8])
+    )

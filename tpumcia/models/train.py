@@ -1,0 +1,203 @@
+"""CNN training: sharded train step over a (data, model) mesh.
+
+One jitted train step; the batch is sharded over ``data``, parameters are
+replicated except the classifier Dense kernel, which is sharded over the
+``model`` axis (tensor parallelism on the head — the one layer whose width
+scales with channel/class count). XLA inserts the gradient psum over ICI
+(SURVEY.md §2.4 plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpumcia.models.cnn import ResNet, make_resnet
+
+
+@dataclass
+class CNNConfig:
+    num_classes: int
+    width: int = 64
+    depth: str = "18"
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    batch_size: int = 64
+    epochs: int = 5
+    seed: int = 0
+
+
+def _param_sharding(params, mesh: Mesh):
+    """Classifier kernel sharded over 'model'; everything else replicated."""
+
+    n_model = mesh.shape["model"]
+
+    def assign(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if (
+            "classifier" in keys
+            and leaf.ndim == 2
+            and leaf.shape[1] % n_model == 0
+        ):
+            return NamedSharding(mesh, P(None, "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+@dataclass
+class CNNHead:
+    model: ResNet
+    params: Any
+    classes: np.ndarray
+    mesh: Mesh | None = None
+    config: CNNConfig | None = None
+    history: list = field(default_factory=list)
+
+    is_device: bool = True
+
+    def apply_fn(self):
+        model = self.model
+        params = self.params
+
+        def f(x):
+            return model.apply({"params": params}, x)
+
+        return f
+
+    def predict_logits(self, images) -> jax.Array:
+        return self.apply_fn()(jnp.asarray(images, jnp.float32))
+
+    def predict_proba(self, images) -> jax.Array:
+        return jax.nn.softmax(self.predict_logits(images), axis=-1)
+
+    def predict(self, images) -> np.ndarray:
+        idx = np.asarray(jnp.argmax(self.predict_logits(images), axis=-1))
+        return self.classes[idx]
+
+    def score(self, images, y) -> float:
+        return float(np.mean(self.predict(images) == np.asarray(y)))
+
+    def save(self, path: str) -> None:
+        """Orbax checkpoint of params + classes."""
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(
+            path,
+            {"params": jax.tree.map(np.asarray, self.params),
+             "classes": np.asarray(self.classes)},
+            force=True,
+        )
+        ckpt.wait_until_finished()
+
+    @classmethod
+    def load(cls, path: str, *, config: CNNConfig) -> "CNNHead":
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        restored = ckpt.restore(path)
+        model = make_resnet(
+            config.num_classes, width=config.width, depth=config.depth
+        )
+        return cls(
+            model=model,
+            params=restored["params"],
+            classes=np.asarray(restored["classes"]),
+            config=config,
+        )
+
+
+def make_train_step(model: ResNet, tx):
+    """(params, opt_state, images, labels_onehot) -> (params, opt_state, loss).
+    Pure; jit/pjit-able with any shardings."""
+
+    def loss_fn(params, images, y_onehot):
+        logits = model.apply({"params": params}, images)
+        return optax.softmax_cross_entropy(logits, y_onehot).mean()
+
+    def step(params, opt_state, images, y_onehot):
+        loss, grads = jax.value_and_grad(loss_fn)(params, images, y_onehot)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def fit_cnn(
+    images,
+    labels,
+    *,
+    config: CNNConfig | None = None,
+    mesh: Mesh | None = None,
+    images_eval=None,
+    labels_eval=None,
+    verbose: bool = False,
+) -> CNNHead:
+    """Train the ResNet on (B, H, W, C) images in [0, 1] (float) or [0, 255]
+    (integer, normalised internally)."""
+    labels = np.asarray(labels)
+    classes, y_idx = np.unique(labels, return_inverse=True)
+    cfg = config or CNNConfig(num_classes=len(classes))
+    images = np.asarray(images)
+    if images.dtype.kind in "ui":
+        images = images.astype(np.float32) / 255.0
+
+    model = make_resnet(cfg.num_classes, width=cfg.width, depth=cfg.depth)
+    rng = jax.random.key(cfg.seed)
+    params = model.init(rng, jnp.zeros((1,) + images.shape[1:], jnp.float32))[
+        "params"
+    ]
+    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+
+    if mesh is not None:
+        p_shard = _param_sharding(params, mesh)
+        data_shard = NamedSharding(mesh, P("data"))
+        # Constrain only the data inputs; params/opt-state shardings are
+        # seeded by the device_put below and then propagated by jit (the
+        # optimizer state and biases follow the kernel shardings XLA infers).
+        step = jax.jit(
+            step,
+            in_shardings=(None, None, data_shard, data_shard),
+        )
+        params = jax.device_put(params, p_shard)
+    else:
+        step = jax.jit(step)
+
+    n = len(images)
+    steps_per_epoch = max(1, n // cfg.batch_size)
+    rng_np = np.random.default_rng(cfg.seed)
+    num_classes = cfg.num_classes
+    history = []
+    for epoch in range(cfg.epochs):
+        order = rng_np.permutation(n)
+        losses = []
+        for s in range(steps_per_epoch):
+            idx = order[s * cfg.batch_size : (s + 1) * cfg.batch_size]
+            if len(idx) < cfg.batch_size:
+                continue
+            xb = jnp.asarray(images[idx])
+            yb = jax.nn.one_hot(jnp.asarray(y_idx[idx]), num_classes)
+            params, opt_state, loss = step(params, opt_state, xb, yb)
+            losses.append(float(loss))
+        entry = {"epoch": epoch, "loss": float(np.mean(losses))}
+        if images_eval is not None:
+            head = CNNHead(model=model, params=params, classes=classes, mesh=mesh,
+                           config=cfg)
+            entry["eval_acc"] = head.score(images_eval, labels_eval)
+        history.append(entry)
+        if verbose:
+            print(entry)
+    return CNNHead(
+        model=model, params=params, classes=classes, mesh=mesh, config=cfg,
+        history=history,
+    )
