@@ -26,6 +26,7 @@ from tpumcia.api import (
     channel_importance,
     feature_importance,
     run_pipeline,
+    analyze_objects,
 )
 
 __all__ = [
@@ -41,4 +42,5 @@ __all__ = [
     "channel_importance",
     "feature_importance",
     "run_pipeline",
+    "analyze_objects",
 ]

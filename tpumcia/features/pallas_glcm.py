@@ -11,11 +11,15 @@ This replaces the reference's Cython ``_glcm_loop`` scatter (ipynb:298) with
 an MXU-native formulation: scatter-free one-hot contractions
 (``G = onehot(left)^T @ onehot(right)``), per the SURVEY.md §2.2 plan.
 
-Mosaic notes: no reshapes, transposes, gathers or dynamic slices inside the
-kernel. Operands arrive pre-flattened as (N, 1) columns (compact in HBM; the
-lane padding only exists in VMEM, which is why pixels are chunked), and the
-reference's rescale LUT row (a function of the channel max) is pre-gathered
-per (image, channel) by the surrounding XLA prologue.
+Layout design (the part that matters on TPU): every HBM operand keeps its
+pixel axis on *lanes* — inputs are (B, C, K, CHUNK) chunk rows and outputs are
+(B, C, 1, L) rows, so nothing acquires a size-1 minor dimension (XLA pads
+those 128x in HBM). In-kernel, one-hots are built *transposed* — levels on
+sublanes, pixels on lanes, via a broadcasted sublane iota — and every
+reduction is an ``A @ B^T`` contraction over the lane axis, which lands
+row-oriented for direct output stores. Zero reshapes/transposes/dynamic
+slices; the reference's rescale-LUT row (a function of the channel max) is
+pre-gathered per (image, channel) by the surrounding XLA prologue.
 
 Contract identical to ``stats.sufficient_stats`` (same :class:`SuffStats`);
 golden tests assert equality against both the XLA path and the CPU oracle.
@@ -32,16 +36,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpumcia.features.stats import SuffStats, rescale_lut, _prep_inputs
 
-_CHUNK = 1024  # pixels/pairs per grid step; sized for ~11 MB peak VMEM
+_CHUNK = 2048  # pixels/pairs per grid step (lane-major), ~8 MB peak VMEM
+
+
+def _rowdot(a, b):
+    """(1, N) x (M, N) -> (1, M): contraction over the lane axis (A @ B^T)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _kernel(
-    raw_ref,  # (1, 1, CH, 1) int32   raw levels (chunk), column layout
-    w_ref,  # (1, 1, CH, 1) f32    mask weights (chunk)
-    lraw_ref,  # (1, 1, CH, 1) int32   left pair endpoints (chunk)
-    rraw_ref,  # (1, 1, CH, 1) int32   right pair endpoints (chunk)
-    pw_ref,  # (1, 1, CH, 1) f32    pair weights (chunk)
-    row_ref,  # (1, 1, L, 1) f32     rescale LUT row for this channel's max
+    raw_ref,  # (1, 1, 1, 1, CH) int32   raw levels (chunk), pixels on lanes
+    w_ref,  # (1, 1, 1, 1, CH) f32    mask weights (chunk)
+    lraw_ref,  # (1, 1, 1, 1, CH) int32   left pair endpoints (chunk)
+    rraw_ref,  # (1, 1, 1, 1, CH) int32   right pair endpoints (chunk)
+    pw_ref,  # (1, 1, 1, 1, CH) f32    pair weights (chunk)
+    row_ref,  # (1, 1, 1, L) f32     rescale LUT row for this channel's max
     hist_ref,  # (1, 1, 1, L) f32     -- outputs, revisited across chunks --
     count_ref,  # (1, 1, 1, 1) f32
     marg_l_ref,  # (1, 1, 1, L) f32
@@ -71,47 +83,47 @@ def _kernel(
         pairs_ref[...] = jnp.zeros_like(pairs_ref)
         glcm_acc[...] = jnp.zeros_like(glcm_acc)
 
-    raw = raw_ref[0, 0]  # (CH, 1) i32
-    w = w_ref[0, 0]  # (CH, 1) f32
-    CH = raw.shape[0]
+    raw = raw_ref[0, 0, 0]  # (1, CH) i32
+    w = w_ref[0, 0, 0].astype(bf16)  # (1, CH)
+    CH = raw.shape[1]
 
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (CH, L), 1)
-    oh_raw = ((raw == iota_c).astype(f32) * w).astype(bf16)  # (CH, L) weighted
+    iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (L, CH), 0)
+    oh_raw_t = (raw == iota_lvl).astype(bf16)  # (L, CH): levels x pixels
 
-    ones_c = jnp.ones((1, CH), bf16)
-    hist_ref[0, 0] += jnp.dot(ones_c, oh_raw, preferred_element_type=f32)
-    count_ref[0, 0] += jnp.sum(w, axis=0, keepdims=True)
+    hist_ref[0, 0] += _rowdot(w, oh_raw_t)  # (1, L)
+    count_ref[0, 0] += jnp.sum(w.astype(f32), axis=1, keepdims=True)
 
-    lraw = lraw_ref[0, 0]  # (CH, 1) i32
-    rraw = rraw_ref[0, 0]
-    pw = pw_ref[0, 0]  # (CH, 1) f32
-    row_bf = row_ref[0, 0].astype(bf16)  # (L, 1) rescale map as a column
+    # Reference rescale (ipynb:293-295): map raw -> uint8 level through the
+    # pre-gathered LUT row:  resc[p] = sum_l row[l] * onehot_t[l, p]
+    row = row_ref[0, 0].astype(bf16)  # (1, L)
+    lraw = lraw_ref[0, 0, 0]  # (1, CH) i32
+    rraw = rraw_ref[0, 0, 0]
+    pw = pw_ref[0, 0, 0].astype(bf16)  # (1, CH)
 
-    oh_lraw = (lraw == iota_c).astype(bf16)
-    oh_rraw = (rraw == iota_c).astype(bf16)
-    resc_l = jnp.dot(oh_lraw, row_bf, preferred_element_type=f32).astype(jnp.int32)
-    resc_r = jnp.dot(oh_rraw, row_bf, preferred_element_type=f32).astype(jnp.int32)
+    oh_lraw_t = (lraw == iota_lvl).astype(bf16)  # (L, CH)
+    oh_rraw_t = (rraw == iota_lvl).astype(bf16)
+    resc_l = jnp.dot(row, oh_lraw_t, preferred_element_type=f32).astype(jnp.int32)
+    resc_r = jnp.dot(row, oh_rraw_t, preferred_element_type=f32).astype(jnp.int32)
 
-    oh_l = ((resc_l == iota_c).astype(f32) * pw).astype(bf16)  # weighted
-    oh_r = (resc_r == iota_c).astype(bf16)
+    oh_l_t = (resc_l == iota_lvl).astype(bf16)  # (L, CH)
+    oh_r_t = (resc_r == iota_lvl).astype(bf16)
 
-    marg_l_ref[0, 0] += jnp.dot(ones_c, oh_l, preferred_element_type=f32)
-    marg_r_ref[0, 0] += jnp.dot(
-        ones_c, (oh_r.astype(f32) * pw).astype(bf16), preferred_element_type=f32
-    )
+    marg_l_ref[0, 0] += _rowdot(pw, oh_l_t)
+    marg_r_ref[0, 0] += _rowdot(pw, oh_r_t)
 
-    diff = resc_l - resc_r + (L - 1)  # (CH, 1) in [0, 2L-2]
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (CH, dpad), 1)
-    oh_d = ((diff == iota_d).astype(f32) * pw).astype(bf16)
-    diff_ref[0, 0] += jnp.dot(ones_c, oh_d, preferred_element_type=f32)
+    diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
+    iota_d = jax.lax.broadcasted_iota(jnp.int32, (dpad, CH), 0)
+    oh_d_t = (diff == iota_d).astype(bf16)  # (dpad, CH)
+    diff_ref[0, 0] += _rowdot(pw, oh_d_t)
 
+    # G[i, j] += sum_p pw_p * [l_p == i] * [r_p == j]  — lane contraction
     glcm_acc[...] += jax.lax.dot_general(
-        oh_l,
-        oh_r,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+        oh_l_t * pw,
+        oh_r_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )  # (L, L)
-    pairs_ref[0, 0] += jnp.sum(pw, axis=0, keepdims=True)
+    pairs_ref[0, 0] += jnp.sum(pw.astype(f32), axis=1, keepdims=True)
 
     @pl.when(k == num_k - 1)
     def _emit_sumsq():
@@ -120,12 +132,14 @@ def _kernel(
         sumsq_ref[0, 0] = jnp.sum(s, axis=1, keepdims=True)
 
 
-def _pad_cols(x, total):
-    """(B, C, N, 1) -> zero-padded (B, C, total, 1)."""
-    n = x.shape[2]
-    if n == total:
-        return x
-    return jnp.pad(x, ((0, 0), (0, 0), (0, total - n), (0, 0)))
+def _chunk_rows(x, total, K, CH):
+    """(B, C, N) -> zero-padded (B, C, K, 1, CH), pixels kept on lanes (the
+    singleton axis makes the block's trailing dims equal the array's, per
+    Mosaic's block-shape rule)."""
+    B, C, n = x.shape
+    if n != total:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, total - n)))
+    return x.reshape(B, C, K, 1, CH)
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "offset", "interpret"))
@@ -141,34 +155,39 @@ def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
     if r0 >= r1 or c0 >= c1:
         raise ValueError(f"GLCM offset {offset} leaves no valid pairs for {H}x{W}")
 
-    # XLA prologue: flatten to column layout, compute the channel max and
-    # gather its rescale LUT row (ipynb:293-295 semantics, exact via the LUT).
+    # XLA prologue: compute the channel max and gather its rescale LUT row
+    # (ipynb:293-295 semantics, exact via the LUT).
     vmax = jnp.max(jnp.where(w > 0, img, -1), axis=(2, 3)).astype(jnp.int32)  # (B,C)
     rows = jnp.take(lut.astype(f32), jnp.clip(vmax, 0, L - 1).reshape(-1), axis=0)
-    rows = rows.reshape(B, C, L, 1)
+    rows = rows.reshape(B, C, 1, L)
 
     HW = H * W
-    K = -(-HW // _CHUNK)
-    total = K * _CHUNK
-    raw_col = _pad_cols(img.reshape(B, C, HW, 1), total)
-    w_col = _pad_cols(w.astype(f32).reshape(B, C, HW, 1), total)
-    lraw = _pad_cols(img[:, :, r0:r1, c0:c1].reshape(B, C, -1, 1), total)
-    rraw = _pad_cols(
-        img[:, :, r0 + dr : r1 + dr, c0 + dc : c1 + dc].reshape(B, C, -1, 1), total
+    CH = min(_CHUNK, max(128, HW))
+    K = -(-HW // CH)
+    total = K * CH
+    raw = _chunk_rows(img.reshape(B, C, HW), total, K, CH)
+    wf = _chunk_rows(w.astype(f32).reshape(B, C, HW), total, K, CH)
+    lraw = _chunk_rows(
+        img[:, :, r0:r1, c0:c1].reshape(B, C, -1), total, K, CH
     )
-    pw = _pad_cols(
+    rraw = _chunk_rows(
+        img[:, :, r0 + dr : r1 + dr, c0 + dc : c1 + dc].reshape(B, C, -1),
+        total, K, CH,
+    )
+    pw = _chunk_rows(
         (w[:, :, r0:r1, c0:c1] * w[:, :, r0 + dr : r1 + dr, c0 + dc : c1 + dc])
         .astype(f32)
-        .reshape(B, C, -1, 1),
-        total,
+        .reshape(B, C, -1),
+        total, K, CH,
     )
 
     grid = (B, C, K)
     chunk = lambda: pl.BlockSpec(
-        (1, 1, _CHUNK, 1), lambda b, c, k: (b, c, k, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, 1, CH), lambda b, c, k: (b, c, k, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     row_spec = pl.BlockSpec(
-        (1, 1, L, 1), lambda b, c, k: (b, c, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, L), lambda b, c, k: (b, c, 0, 0), memory_space=pltpu.VMEM
     )
     vec = lambda n: pl.BlockSpec(
         (1, 1, 1, n), lambda b, c, k: (b, c, 0, 0), memory_space=pltpu.VMEM
@@ -200,7 +219,7 @@ def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
-    )(raw_col, w_col, lraw, rraw, pw, rows)
+    )(raw, wf, lraw, rraw, pw, rows)
 
     return SuffStats(
         hist=hist[:, :, 0, :],
