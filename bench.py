@@ -30,9 +30,11 @@ def main() -> None:
     import jax
     import numpy as np
 
-    from tpumcia.config import FeatureConfig, HeadConfig, ImportanceConfig
+    from tpumcia.config import HeadConfig, ImportanceConfig
     from tpumcia.features import registry
-    from tpumcia.features.extract import extract_features
+    from tpumcia.features.finalize import finalize_features
+    from tpumcia.features.stats import SuffStats, sufficient_stats
+    from tpumcia.features.pallas_glcm import sufficient_stats_pallas
     from tpumcia.importance.channels import channel_importance
     from tpumcia.io.synthetic import synthetic_mednist
     from tpumcia.models.heads import fit_head
@@ -42,7 +44,7 @@ def main() -> None:
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    feat_cfg = FeatureConfig(use_pallas="auto" if on_tpu else "never")
+    stats_fn = sufficient_stats_pallas if on_tpu else sufficient_stats
 
     # ---- data (host-side synthetic MedNIST stand-in; not timed, mirrors the
     # reference's already-on-disk PNGs) ------------------------------------
@@ -53,25 +55,43 @@ def main() -> None:
     # ---- warm-up/compile on a small slice (excluded, like the reference's
     # excluded import/startup time) ----------------------------------------
     key = jax.random.key(0)
-    warm = np.asarray(add_noise_channels(gray[:BATCH], key))
-    fm_w = extract_features(warm, config=feat_cfg)
+
+    def features_for(gray_batches):
+        """synth -> device stats -> lossless u16 pack -> host f64 finalize.
+        All device work is dispatched up front; each batch's D2H fetch
+        overlaps the next batches' compute."""
+        from tpumcia.features.finalize import _pack_jit
+
+        packed = []
+        for i, g in enumerate(gray_batches):
+            imgs = add_noise_channels(g, jax.random.fold_in(key, i))
+            packed.append(_pack_jit(stats_fn(imgs), narrow="uint16"))
+        vals = []
+        for st in packed:
+            st_np = SuffStats(*(np.asarray(s) for s in st))
+            vals.append(finalize_features(st_np).values)
+        return np.concatenate(vals)
+
+    gray_dev = jax.device_put(gray)
+    warm_vals = features_for([gray_dev[:256]])
     head_w = fit_head(
-        fm_w, labels[:BATCH], config=HeadConfig(kind="logistic", num_steps=50)
+        warm_vals.astype(np.float32), labels[:256],
+        config=HeadConfig(kind="logistic", num_steps=50),
+    )
+    fm_warm = FeatureMatrix(
+        values=warm_vals.astype(np.float32),
+        names=registry.feature_names(3),
+        num_channels=3,
     )
     channel_importance(
-        head_w, fm_w, labels[:BATCH], method="permutation",
+        head_w, fm_warm, labels[:256], method="permutation",
         config=ImportanceConfig(n_repeats=2),
     )
 
     # ---- timed pipeline ---------------------------------------------------
     t0 = time.perf_counter()
-    values = []
-    for start in range(0, len(gray), BATCH):
-        g = gray[start : start + BATCH]
-        imgs = add_noise_channels(g, jax.random.fold_in(key, start))
-        fm = extract_features(np.asarray(imgs), config=feat_cfg)
-        values.append(np.asarray(fm.values))
-    X = np.nan_to_num(np.concatenate(values).astype(np.float32))
+    batches = [gray_dev[s : s + BATCH] for s in range(0, len(gray), BATCH)]
+    X = np.nan_to_num(features_for(batches).astype(np.float32))
     names = registry.feature_names(3)
 
     split = train_test_split_indices(

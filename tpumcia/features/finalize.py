@@ -27,6 +27,7 @@ Deliberate reference-quirk handling:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -145,6 +146,34 @@ class FinalizedFeatures(NamedTuple):
     degenerate: np.ndarray | jax.Array  # (B, C) bool: empty mask or all-zero channel
 
 
+def _pack_for_transfer(stats: SuffStats) -> SuffStats:
+    """Cast the integer-valued count histograms to the narrowest lossless
+    dtype on device before the device->host fetch. Histogram bins are bounded
+    by the per-channel pixel/pair count, so uint16 is lossless whenever the
+    images have < 65536 pixels — half the transfer bytes on the
+    latency-bound D2H path."""
+    if not isinstance(stats.hist, jax.Array):
+        return stats
+    # one tiny scalar sync decides the packing dtype
+    u16_ok = bool(jnp.max(stats.count) < 65536)
+    return _pack_jit(stats, narrow="uint16" if u16_ok else "int32")
+
+
+@partial(jax.jit, static_argnames=("narrow",))
+def _pack_jit(s: SuffStats, *, narrow: str) -> SuffStats:
+    nd = jnp.dtype(narrow)
+    return SuffStats(
+        hist=s.hist.astype(nd),
+        count=s.count.astype(jnp.int32),
+        vmax=s.vmax,
+        marg_l=s.marg_l.astype(nd),
+        marg_r=s.marg_r.astype(nd),
+        diff_hist=s.diff_hist.astype(nd),
+        glcm_sumsq=s.glcm_sumsq,  # exact-int f32, not u16-representable
+        pair_count=s.pair_count.astype(jnp.int32),
+    )
+
+
 def finalize_features(
     stats: SuffStats,
     *,
@@ -154,10 +183,12 @@ def finalize_features(
 ) -> FinalizedFeatures:
     """Reduce :class:`SuffStats` to the (B, 23*C) feature matrix.
 
-    ``backend='host'``: float64 numpy (exact reference semantics).
+    ``backend='host'``: float64 numpy (exact reference semantics); device
+    inputs are narrowed losslessly before the fetch.
     ``backend='device'``: float32 jnp under jit (device-resident).
     """
     if backend == "host":
+        stats = _pack_for_transfer(stats)
         stats = SuffStats(*(np.asarray(s) for s in stats))
         xp, dtype = np, np.float64
         return _finalize(stats, xp, dtype, include_intensity, include_glcm)
@@ -186,9 +217,6 @@ def _finalize(stats, xp, dtype, include_intensity, include_glcm):
     values = xp.concatenate(blocks, axis=1)
     degenerate = (stats.count == 0) | (stats.vmax <= 0)
     return FinalizedFeatures(values=values, degenerate=degenerate)
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnums=(1, 2))

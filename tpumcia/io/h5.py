@@ -147,15 +147,19 @@ def load_objects(
     if target_hw is None:
         target_hw = (int(shapes[:, 0].max()), int(shapes[:, 1].max()))
 
-    def stack(key, dtype=None):
-        arrs = []
-        for o in objs:
-            a = o[key]
-            if a is None:
-                return None
-            arrs.append(np.asarray(center_crop_or_pad(np.asarray(a)[None], target_hw))[0])
-        out = np.stack(arrs)
-        return out.astype(dtype) if dtype else out
+    def stack(key):
+        arrs = [o[key] for o in objs]
+        if any(a is None for a in arrs):
+            return None
+        arrs = [np.asarray(a) for a in arrs]
+        dtypes = {a.dtype for a in arrs}
+        if len(dtypes) == 1 and arrs[0].dtype in (np.uint8, np.uint16):
+            from tpumcia.io.native import pack_objects
+
+            return pack_objects(arrs, target_hw)  # C++ threaded packer
+        return np.stack(
+            [np.asarray(center_crop_or_pad(a[None], target_hw))[0] for a in arrs]
+        )
 
     images = stack("image")
     masks = stack("mask")
