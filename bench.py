@@ -59,7 +59,8 @@ def main() -> None:
     def features_for(gray_batches):
         """synth -> device stats -> lossless u16 pack -> host f64 finalize.
         All device work is dispatched up front; each batch's D2H fetch
-        overlaps the next batches' compute."""
+        overlaps the next batches' compute. Every batch has the same shape,
+        so exactly one kernel is ever compiled."""
         from tpumcia.features.finalize import _pack_jit
 
         packed = []
@@ -72,53 +73,49 @@ def main() -> None:
             vals.append(finalize_features(st_np).values)
         return np.concatenate(vals)
 
-    gray_dev = jax.device_put(gray)
-    warm_vals = features_for([gray_dev[:256]])
-    head_w = fit_head(
-        warm_vals.astype(np.float32), labels[:256],
-        config=HeadConfig(kind="logistic", num_steps=50),
-    )
-    fm_warm = FeatureMatrix(
-        values=warm_vals.astype(np.float32),
-        names=registry.feature_names(3),
-        num_channels=3,
-    )
-    channel_importance(
-        head_w, fm_warm, labels[:256], method="permutation",
-        config=ImportanceConfig(n_repeats=2),
-    )
+    # pad to a whole number of fixed-size batches (extraction of the padding
+    # rows is real work; the padded rows are dropped before the head)
+    n_pad = (-len(gray)) % BATCH
+    gray_padded = np.concatenate([gray, gray[:n_pad]]) if n_pad else gray
+    gray_dev = jax.device_put(gray_padded)
+    batches = [gray_dev[s : s + BATCH] for s in range(0, len(gray_padded), BATCH)]
+
+    names = registry.feature_names(3)
+
+    def full_pipeline():
+        X = np.nan_to_num(features_for(batches).astype(np.float32))[: len(gray)]
+        split = train_test_split_indices(
+            len(X), test_size=0.25, seed=0, stratify=labels
+        )
+        head = fit_head(
+            X[split.train_idx],
+            labels[split.train_idx],
+            config=HeadConfig(kind="logistic", num_steps=300),
+        )
+        fm_test = FeatureMatrix(
+            values=X[split.test_idx], names=names, num_channels=3
+        )
+        res = channel_importance(
+            head,
+            fm_test,
+            labels[split.test_idx],
+            method="permutation",
+            config=ImportanceConfig(n_repeats=10, seed=42),
+        )
+        feat_res = channel_importance(
+            head,
+            fm_test,
+            labels[split.test_idx],
+            method="permutation_features",
+            config=ImportanceConfig(n_repeats=10, seed=42),
+        )
+        return X, split, head, res, feat_res
+
+    full_pipeline()  # warm-up: compiles every stage at the real shapes
 
     # ---- timed pipeline ---------------------------------------------------
     t0 = time.perf_counter()
-    batches = [gray_dev[s : s + BATCH] for s in range(0, len(gray), BATCH)]
-    X = np.nan_to_num(features_for(batches).astype(np.float32))
-    names = registry.feature_names(3)
-
-    split = train_test_split_indices(
-        len(X), test_size=0.25, seed=0, stratify=labels
-    )
-    head = fit_head(
-        X[split.train_idx],
-        labels[split.train_idx],
-        config=HeadConfig(kind="logistic", num_steps=300),
-    )
-    fm_test = FeatureMatrix(
-        values=X[split.test_idx], names=names, num_channels=3
-    )
-    res = channel_importance(
-        head,
-        fm_test,
-        labels[split.test_idx],
-        method="permutation",
-        config=ImportanceConfig(n_repeats=10, seed=42),
-    )
-    feat_res = channel_importance(
-        head,
-        fm_test,
-        labels[split.test_idx],
-        method="permutation_features",
-        config=ImportanceConfig(n_repeats=10, seed=42),
-    )
+    X, split, head, res, feat_res = full_pipeline()
     elapsed = time.perf_counter() - t0
 
     test_acc = head.score(X[split.test_idx], labels[split.test_idx])

@@ -40,37 +40,63 @@ class PermutationResult:
         return np.argsort(self.importances_mean)[::-1]
 
 
+def _scaled_logistic_apply(params, dmin, dscale, X):
+    return (X - dmin) * dscale @ params["w"] + params["b"]
+
+
+def _scaled_forest_apply(feature, threshold, left, right, leaf_proba, dmin,
+                         dscale, depth, X):
+    from tpumcia.models.forest_device import _forest_proba_impl
+
+    return _forest_proba_impl(
+        (X - dmin) * dscale, feature, threshold, left, right, leaf_proba, depth
+    )
+
+
 def _device_score_parts(head):
-    """(apply_fn, X_transform, class_count) for device-capable heads."""
+    """(apply_fn, classes) for device-capable heads. ``apply_fn`` is a
+    ``jax.tree_util.Partial`` over module-level functions with array leaves,
+    so jits keyed on it cache across calls (a plain closure would retrace
+    every sweep)."""
+    from jax.tree_util import Partial
+
     from tpumcia.models.forest_device import DeviceForest
-    from tpumcia.models.heads import LogisticHead, RandomForestHead, logistic_predict_logits
+    from tpumcia.models.heads import LogisticHead, RandomForestHead
 
     if isinstance(head, RandomForestHead):
         head = head.to_device()
+
+    def scale_args(scaler, width):
+        if scaler is None:
+            return jnp.zeros((width,), jnp.float32), jnp.ones((width,), jnp.float32)
+        return jnp.asarray(scaler.data_min, jnp.float32), jnp.asarray(
+            scaler.scale, jnp.float32
+        )
+
     if isinstance(head, LogisticHead):
-        params, scaler = head.params, head.scaler
-
-        def apply_fn(X):
-            Xs = scaler.transform(X) if scaler is not None else X
-            return logistic_predict_logits(params, Xs)
-
-        return apply_fn, head.classes
+        dmin, dscale = scale_args(head.scaler, head.params["w"].shape[0])
+        return (
+            Partial(_scaled_logistic_apply, head.params, dmin, dscale),
+            head.classes,
+        )
     if isinstance(head, DeviceForest):
-        forest_fn, scaler = head.apply_fn(), head.scaler
-
-        def apply_fn(X):
-            Xs = scaler.transform(X) if scaler is not None else X
-            return forest_fn(Xs)
-
-        return apply_fn, head.classes
+        dmin, dscale = scale_args(head.scaler, 1)
+        return (
+            Partial(
+                _scaled_forest_apply,
+                head.feature, head.threshold, head.left, head.right,
+                head.leaf_proba, dmin, dscale, head.depth,
+            ),
+            head.classes,
+        )
     raise TypeError(
         f"head {type(head).__name__} has no device scoring path; use "
         "permutation_importance_host"
     )
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "n_repeats"))
-def _perm_sweep(X, y_idx, masks, key, *, apply_fn, n_repeats):
+@functools.partial(jax.jit, static_argnames=("n_repeats",))
+def _perm_sweep(X, y_idx, masks, key, apply_fn, *, n_repeats):
     """masks: (G, F) 0/1 — columns permuted *jointly* (with one permutation)
     per group. Per-feature importance is the identity-mask special case."""
     N, F = X.shape
@@ -108,7 +134,7 @@ def _run_sweep(head, X, y, masks, *, n_repeats, seed):
         y_idx,
         jnp.asarray(masks, jnp.float32),
         jax.random.key(seed),
-        apply_fn=apply_fn,
+        apply_fn,
         n_repeats=n_repeats,
     )
     imp = np.asarray(importances, dtype=np.float64)

@@ -25,9 +25,10 @@ import numpy as np
 from tpumcia.models.scaler import MinMaxScaler
 
 
-@functools.partial(jax.jit, static_argnames=("depth",))
-def _forest_proba(X, feature, threshold, left, right, leaf_proba, *, depth: int):
-    """X: (S, F); tree arrays: (T, N); leaf_proba: (T, N, K) -> (S, K)."""
+def _forest_proba_impl(X, feature, threshold, left, right, leaf_proba, depth):
+    """X: (S, F); tree arrays: (T, N); leaf_proba: (T, N, K) -> (S, K).
+    ``depth`` may be a traced scalar (dynamic fori bound) — leaves self-loop,
+    so any bound >= true depth is correct."""
     S = X.shape[0]
     T = feature.shape[0]
 
@@ -49,6 +50,11 @@ def _forest_proba(X, feature, threshold, left, right, leaf_proba, *, depth: int)
     nodes = jax.vmap(descend_tree)(feature, threshold, left, right)  # (T, S)
     probas = jax.vmap(lambda lp, nd: jnp.take(lp, nd, axis=0))(leaf_proba, nodes)
     return jnp.mean(probas, axis=0)  # (S, K)
+
+
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _forest_proba(X, feature, threshold, left, right, leaf_proba, *, depth: int):
+    return _forest_proba_impl(X, feature, threshold, left, right, leaf_proba, depth)
 
 
 @dataclass
