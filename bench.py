@@ -57,21 +57,20 @@ def main() -> None:
     key = jax.random.key(0)
 
     def features_for(gray_batches):
-        """synth -> device stats -> lossless u16 pack -> host f64 finalize.
-        All device work is dispatched up front; each batch's D2H fetch
-        overlaps the next batches' compute. Every batch has the same shape,
-        so exactly one kernel is ever compiled."""
-        from tpumcia.features.finalize import _pack_jit
+        """synth -> device stats -> device scalar-reduction ('hybrid'
+        finalize) -> tiny D2H fetch -> host f64 scalar assembly. All device
+        work is dispatched up front; each batch's fetch overlaps the next
+        batches' compute. Every batch has the same shape, so exactly one
+        kernel is ever compiled."""
+        from tpumcia.features.hybrid import _device_reduce, assemble_reduced
 
-        packed = []
+        reduced = []
         for i, g in enumerate(gray_batches):
             imgs = add_noise_channels(g, jax.random.fold_in(key, i))
-            packed.append(_pack_jit(stats_fn(imgs), narrow="uint16"))
-        vals = []
-        for st in packed:
-            st_np = SuffStats(*(np.asarray(s) for s in st))
-            vals.append(finalize_features(st_np).values)
-        return np.concatenate(vals)
+            reduced.append(_device_reduce(stats_fn(imgs)))
+        return np.concatenate(
+            [assemble_reduced(r).values for r in reduced]
+        )
 
     # pad to a whole number of fixed-size batches (extraction of the padding
     # rows is real work; the padded rows are dropped before the head)

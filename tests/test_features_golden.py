@@ -13,7 +13,7 @@ from tpumcia.features.extract import extract_features
 from tpumcia.features.stats import rescale_lut, sufficient_stats, glcm_matrix
 from tpumcia.reference_impl import oracle
 
-XLA_CFG = FeatureConfig(use_pallas="never")
+XLA_CFG = FeatureConfig(precision="exact", use_pallas="never")
 
 
 def _oracle_matrix(imgs):
@@ -125,7 +125,8 @@ def test_glcm_offset_configs(rng):
     img[:, 0, 0, 0] = 255
     for distance, angle in [(1, 0.0), (3, np.pi / 2), (2, np.pi / 4)]:
         cfg = FeatureConfig(
-            glcm=GLCMConfig(distance=distance, angle=angle), use_pallas="never"
+            glcm=GLCMConfig(distance=distance, angle=angle),
+            precision="exact", use_pallas="never",
         )
         fm = extract_features(img, config=cfg)
         for b in range(2):
@@ -149,10 +150,10 @@ def test_glcm_matrix_matches_oracle(rng):
 
 def test_intensity_only_and_glcm_only(small_batch):
     fi = extract_features(
-        small_batch, config=FeatureConfig(include_glcm=False, use_pallas="never")
+        small_batch, config=FeatureConfig(include_glcm=False, precision="exact", use_pallas="never")
     )
     fg = extract_features(
-        small_batch, config=FeatureConfig(include_intensity=False, use_pallas="never")
+        small_batch, config=FeatureConfig(include_intensity=False, precision="exact", use_pallas="never")
     )
     assert fi.shape[1] == 51 and fg.shape[1] == 18
     full = extract_features(small_batch, config=XLA_CFG)

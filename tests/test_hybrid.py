@@ -1,0 +1,63 @@
+"""Hybrid (device-reduce + host-assemble) finalisation vs oracle and host path."""
+
+import numpy as np
+import pytest
+
+from tpumcia.config import FeatureConfig
+from tpumcia.features.extract import extract_features
+from tpumcia.reference_impl import oracle
+
+HYBRID = FeatureConfig(precision="hybrid", use_pallas="never")
+EXACT = FeatureConfig(precision="exact", use_pallas="never")
+
+
+def test_hybrid_golden(small_batch):
+    ref = np.stack([oracle.feature_vector(im / 255.0) for im in small_batch])
+    fm = extract_features(small_batch, config=HYBRID)
+    err = np.abs(fm.values - ref)
+    assert np.nanmax(err) < 1e-5  # BASELINE.md target
+    assert np.nanmean(err) < 1e-6
+    # the exact-integer features are bit-tight even in hybrid mode
+    exact_cols = [
+        i for i, n in enumerate(fm.names)
+        if n.split("_Ch")[0] in (
+            "min_intensity", "max_intensity", "total_intensity",
+            "mean_intensity", "contrast", "dissimilarity", "ASM", "energy",
+            "correlation",
+        ) or n.startswith("percentile")
+    ]
+    assert np.nanmax(err[:, exact_cols]) < 1e-9
+
+
+def test_hybrid_matches_host_on_edges(rng):
+    imgs = np.zeros((4, 32, 32, 2), dtype=np.uint8)
+    imgs[0, :, :, 0] = 7  # constant channel
+    imgs[1] = (rng.random((32, 32, 2)) * 256).astype(np.uint8)
+    imgs[2, :, :, :] = 255
+    imgs[3, :16] = 3
+    imgs[3, 16:] = 250
+    a = extract_features(imgs, config=HYBRID)
+    b = extract_features(imgs, config=EXACT)
+    assert np.array_equal(np.isnan(a.values), np.isnan(b.values))
+    err = np.abs(np.nan_to_num(a.values) - np.nan_to_num(b.values))
+    assert err.max() < 1e-5
+    np.testing.assert_array_equal(
+        np.asarray(a.degenerate), np.asarray(b.degenerate)
+    )
+
+
+def test_hybrid_masked(rng):
+    img = (rng.random((2, 32, 32, 1)) * 256).astype(np.uint8)
+    mask = rng.random((2, 32, 32, 1)) > 0.3
+    a = extract_features(img, mask=mask, config=HYBRID)
+    b = extract_features(img, mask=mask, config=EXACT)
+    err = np.abs(np.nan_to_num(a.values) - np.nan_to_num(b.values))
+    assert err.max() < 1e-5
+
+
+def test_hybrid_falls_back_for_large_images(rng):
+    # 256x256 = 65536 pixels: hybrid's exact-integer bounds don't hold
+    img = (rng.random((1, 256, 256, 1)) * 256).astype(np.uint8)
+    a = extract_features(img, config=HYBRID)
+    b = extract_features(img, config=EXACT)
+    np.testing.assert_array_equal(a.values, b.values)  # same (host) backend

@@ -28,7 +28,9 @@ def test_mesh_construction():
 
 def test_sharded_features_match_single_device(small_batch):
     mesh = make_mesh()
-    fm_ref = extract_features(small_batch, config=FeatureConfig(use_pallas="never"))
+    fm_ref = extract_features(
+        small_batch, config=FeatureConfig(precision="exact", use_pallas="never")
+    )
     fm_sh = extract_features_sharded(small_batch, mesh=mesh)
     np.testing.assert_array_equal(np.asarray(fm_sh.values), np.asarray(fm_ref.values))
 
@@ -36,7 +38,9 @@ def test_sharded_features_match_single_device(small_batch):
 def test_sharded_features_nondivisible_batch(small_batch):
     mesh = make_mesh()
     batch = small_batch[:5]  # 5 images over 8 devices -> padding path
-    fm_ref = extract_features(batch, config=FeatureConfig(use_pallas="never"))
+    fm_ref = extract_features(
+        batch, config=FeatureConfig(precision="exact", use_pallas="never")
+    )
     fm_sh = extract_features_sharded(batch, mesh=mesh)
     assert fm_sh.values.shape == fm_ref.values.shape
     np.testing.assert_array_equal(np.asarray(fm_sh.values), np.asarray(fm_ref.values))

@@ -105,7 +105,11 @@ def extract_features(
             with_glcm=cfg.include_glcm,
         )
 
-    backend = "host" if cfg.precision == "exact" else "device"
+    backend = {"exact": "host", "hybrid": "hybrid", "device": "device"}[
+        cfg.precision
+    ]
+    if backend == "hybrid" and images.shape[1] * images.shape[2] >= 65536:
+        backend = "host"  # hybrid's exact-integer bounds need < 2^16 pixels
     done = finalize_features(
         stats,
         include_intensity=cfg.include_intensity,
