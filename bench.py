@@ -56,21 +56,42 @@ def main() -> None:
     # excluded import/startup time) ----------------------------------------
     key = jax.random.key(0)
 
-    def features_for(gray_batches):
-        """synth -> device stats -> device scalar-reduction ('hybrid'
-        finalize) -> tiny D2H fetch -> host f64 scalar assembly. All device
-        work is dispatched up front; each batch's fetch overlaps the next
-        batches' compute. Every batch has the same shape, so exactly one
-        kernel is ever compiled."""
-        from tpumcia.features.hybrid import _device_reduce, assemble_reduced
+    import jax.numpy as jnp
 
-        reduced = []
-        for i, g in enumerate(gray_batches):
-            imgs = add_noise_channels(g, jax.random.fold_in(key, i))
-            reduced.append(_device_reduce(stats_fn(imgs)))
-        return np.concatenate(
-            [assemble_reduced(r).values for r in reduced]
+    from tpumcia.features.hybrid import (
+        _device_reduce_packed,
+        assemble_reduced,
+        unpack_reduced,
+    )
+    from tpumcia.features.pallas_glcm import _pallas_stats_jit
+    from tpumcia.features.stats import _prep_inputs, rescale_lut
+    from tpumcia.features.stats import _sufficient_stats_jit
+
+    lut = jnp.asarray(rescale_lut(256))
+
+    def _one_batch(args):
+        """synth -> stats kernel -> hybrid scalar reduction, fully on device."""
+        g, k = args
+        imgs = add_noise_channels(g, k)
+        img, w = _prep_inputs(imgs, None)
+        if on_tpu:
+            st = _pallas_stats_jit(img, w, lut, levels=256, offset=(0, 5))
+        else:
+            st = _sufficient_stats_jit(
+                img, w, lut, levels=256, offset=(0, 5), chunk_size=32,
+                onehot_dtype="bfloat16", with_intensity=True, with_glcm=True,
+            )
+        return _device_reduce_packed(st)
+
+    _one_batch_jit = jax.jit(_one_batch)  # one dispatch per batch
+
+    def features_for(gray_batches):
+        keys = jax.random.split(key, len(gray_batches))
+        packed = [_one_batch_jit((g, k)) for g, k in zip(gray_batches, keys)]
+        flat = unpack_reduced(
+            np.concatenate([np.asarray(p) for p in packed])  # 1 fetch/batch
         )
+        return np.asarray(assemble_reduced(flat).values)
 
     # pad to a whole number of fixed-size batches (extraction of the padding
     # rows is real work; the padded rows are dropped before the head)

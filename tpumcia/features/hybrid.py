@@ -133,11 +133,43 @@ def _device_reduce(stats: SuffStats):
     )
 
 
+# packing layout: 21 (B, C) scalars, then 3 x (B, C, 9) percentile vectors.
+# Every value is exactly representable in f32 (integers < 2^24 or already f32).
+_SCALAR_FIELDS = (
+    "n", "vmax", "min_lev", "max_lev", "total_raw", "m2", "m3", "m4",
+    "entropy", "s_i2_hi", "s_i2_lo", "s_j2_hi", "s_j2_lo", "s_d2_hi",
+    "s_d2_lo", "s_i", "s_j", "dissim_raw", "homog_sum", "sumsq", "npairs",
+)
+_VEC_FIELDS = ("idx_lo", "idx_hi", "rem")  # 9 each
+
+
+@jax.jit
+def _device_reduce_packed(stats: SuffStats) -> jax.Array:
+    """Single (B, C, 48) f32 array — one D2H fetch instead of 25 (each fetch
+    pays full round-trip latency on a remote device link)."""
+    r = _device_reduce(stats)
+    parts = [r[f].astype(jnp.float32)[..., None] for f in _SCALAR_FIELDS]
+    parts += [r[f].astype(jnp.float32) for f in _VEC_FIELDS]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_reduced(packed: np.ndarray) -> dict:
+    packed = np.asarray(packed)
+    out = {}
+    for i, f in enumerate(_SCALAR_FIELDS):
+        out[f] = packed[..., i]
+    base = len(_SCALAR_FIELDS)
+    for j, f in enumerate(_VEC_FIELDS):
+        out[f] = packed[..., base + 9 * j : base + 9 * (j + 1)]
+    return out
+
+
 def finalize_hybrid(
     stats: SuffStats, *, include_intensity: bool = True, include_glcm: bool = True
 ) -> FinalizedFeatures:
+    reduced = _device_reduce_packed(stats)
     return assemble_reduced(
-        _device_reduce(stats),
+        unpack_reduced(reduced),
         levels=stats.hist.shape[-1],
         include_intensity=include_intensity,
         include_glcm=include_glcm,
@@ -164,8 +196,8 @@ def assemble_reduced(
     blocks = []
     B, C = r["n"].shape
     if include_intensity:
-        min_v = z(r["min_lev"] / top)
-        max_v = z(r["max_lev"] / top)
+        min_v = z(r["min_lev"].astype(f64) / top)
+        max_v = z(r["max_lev"].astype(f64) / top)
         frac = r["rem"].astype(f64) / 1000.0
         pct = (r["idx_lo"] + frac * (r["idx_hi"] - r["idx_lo"])) / top
         pct = np.where(empty[..., None], 0.0, pct)
@@ -191,9 +223,12 @@ def assemble_reduced(
     if include_glcm:
         N = r["npairs"].astype(f64)
         safe_N = np.maximum(N, 1.0)
-        s_d2 = 256.0 * r["s_d2_hi"] + r["s_d2_lo"]  # exact in f64
-        s_i2 = 256.0 * r["s_i2_hi"] + r["s_i2_lo"]
-        s_j2 = 256.0 * r["s_j2_hi"] + r["s_j2_lo"]
+        # limbs must be widened *before* reassembly: a float32 array times a
+        # python float stays float32 under NumPy 2 promotion, and 256*hi
+        # overflows the f32 integer range
+        s_d2 = 256.0 * r["s_d2_hi"].astype(f64) + r["s_d2_lo"].astype(f64)
+        s_i2 = 256.0 * r["s_i2_hi"].astype(f64) + r["s_i2_lo"].astype(f64)
+        s_j2 = 256.0 * r["s_j2_hi"].astype(f64) + r["s_j2_lo"].astype(f64)
         s_i = r["s_i"].astype(f64)
         s_j = r["s_j"].astype(f64)
 

@@ -99,7 +99,9 @@ def extract_features_sharded(
     stats = sufficient_stats_sharded(
         images, mask, mesh=mesh, levels=levels, offset=offset, chunk_size=chunk_size
     )
-    backend = "host" if precision == "exact" else "device"
+    backend = {"exact": "host", "hybrid": "hybrid", "device": "device"}[precision]
+    if backend == "hybrid" and images.shape[1] * images.shape[2] >= 65536:
+        backend = "host"
     done = finalize_features(stats, backend=backend)
     C = images.shape[-1]
     return FeatureMatrix(

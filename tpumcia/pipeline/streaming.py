@@ -60,12 +60,14 @@ def stream_extract(
     shard_size: int = 1024,
     config: FeatureConfig | None = None,
     config_tag: str | None = None,
+    mesh=None,
 ) -> StreamResult:
     """Extract features over ``n`` objects in resumable shards.
 
     ``fetch(idx)`` returns ``(images, mask_or_None, labels_or_None)`` for the
     given index array — typically decoding from disk on host while the TPU
-    reduces the previous shard.
+    reduces the previous shard. With ``mesh``, each shard is computed SPMD
+    over the mesh's ``data`` axis (BASELINE.json config 5).
     """
     cfg = config or FeatureConfig()
     out_dir = Path(out_dir)
@@ -93,7 +95,20 @@ def stream_extract(
             continue
         idx = np.arange(start, stop)
         images, mask, labels = fetch(idx)
-        fm = extract_features(images, mask=mask, config=cfg)
+        if mesh is not None:
+            from tpumcia.parallel.sharding import extract_features_sharded
+
+            fm = extract_features_sharded(
+                images,
+                mask,
+                mesh=mesh,
+                levels=cfg.glcm.levels,
+                offset=cfg.glcm.offset,
+                chunk_size=cfg.chunk_size,
+                precision="exact" if cfg.precision == "exact" else cfg.precision,
+            )
+        else:
+            fm = extract_features(images, mask=mask, config=cfg)
         names = fm.names
         payload = {
             "values": np.asarray(fm.values),
