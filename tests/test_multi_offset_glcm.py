@@ -1,0 +1,71 @@
+"""Multi-offset GLCM (skimage's distances=[..], angles=[..] list API)."""
+
+import numpy as np
+import pytest
+
+from tpumcia.config import FeatureConfig, GLCMConfig
+from tpumcia.features.extract import extract_features
+from tpumcia.reference_impl import oracle
+
+
+def test_multi_offset_names_and_values(rng):
+    img = (rng.random((2, 24, 24, 2)) * 256).astype(np.uint8)
+    img[:, 0, 0, :] = 255
+    cfg = FeatureConfig(
+        glcm=GLCMConfig(distance=(1, 5), angle=(0.0, np.pi / 2)),
+        precision="exact",
+        use_pallas="never",
+    )
+    fm = extract_features(img, config=cfg)
+    # 2 channels x (17 intensity + 6 glcm x 4 offsets)
+    assert fm.shape == (2, 2 * 17 + 2 * 6 * 4)
+    assert "contrast_d1a0_Ch1" in fm.names
+    assert "correlation_d5a90_Ch2" in fm.names
+
+    # each offset block matches the single-offset oracle
+    for d, a in [(1, 0.0), (1, np.pi / 2), (5, 0.0), (5, np.pi / 2)]:
+        deg = int(round(np.degrees(a)))
+        for b in range(2):
+            feats = oracle.glcm_features(img[b] / 255.0, distance=d, angle=a)
+            for prop in oracle.GLCM_FEATURES:
+                got = fm.column(f"{prop}_d{d}a{deg}_Ch1")[b]
+                assert got == pytest.approx(feats[f"{prop}_Ch1"], abs=1e-9)
+
+
+def test_multi_offset_channel_grouping(rng):
+    img = (rng.random((1, 16, 16, 3)) * 250 + 5).astype(np.uint8)
+    cfg = FeatureConfig(
+        glcm=GLCMConfig(distance=(1, 2)), precision="exact", use_pallas="never"
+    )
+    fm = extract_features(img, config=cfg)
+    groups = fm.channel_columns()
+    assert [len(g) for g in groups] == [17 + 12] * 3
+    # groups partition all columns
+    flat = sorted(i for g in groups for i in g)
+    assert flat == list(range(fm.shape[1]))
+    # name-parsed grouping agrees with the positional layout
+    for c, g in enumerate(groups):
+        for i in g:
+            assert fm.names[i].endswith(f"_Ch{c + 1}")
+
+
+def test_single_offset_keeps_reference_names(small_batch):
+    fm = extract_features(
+        small_batch,
+        config=FeatureConfig(precision="exact", use_pallas="never"),
+    )
+    assert "contrast_Ch1" in fm.names  # no offset tag for the legacy config
+    assert fm.shape[1] == 69
+
+
+def test_custom_channel_names_group_positionally(rng):
+    img = (rng.random((1, 16, 16, 2)) * 250 + 5).astype(np.uint8)
+    fm = extract_features(
+        img,
+        config=FeatureConfig(precision="exact", use_pallas="never"),
+        channel_names=["BF", "GFP"],
+    )
+    assert fm.names[0] == "min_intensity_BF"
+    groups = fm.channel_columns()
+    assert [len(g) for g in groups] == [23, 23]
+    assert all(fm.names[i].endswith("_GFP") for i in groups[1])

@@ -19,20 +19,55 @@ from typing import Any
 
 @dataclass(frozen=True)
 class GLCMConfig:
-    """Gray-level co-occurrence texture settings (reference ipynb:298)."""
+    """Gray-level co-occurrence texture settings (reference ipynb:298).
 
-    distance: int = 5
-    angle: float = 0.0  # radians; offset = (round(d*sin a), round(d*cos a))
+    ``distance``/``angle`` accept a single value or a tuple (the skimage
+    ``distances=[..], angles=[..]`` list API — offsets are the cross
+    product). With a single (distance, angle) pair, feature names keep the
+    reference's plain ``contrast_Ch1`` form; with several, each pair gets a
+    ``_d{d}a{deg}`` tag.
+    """
+
+    distance: int | tuple = 5
+    angle: float | tuple = 0.0  # radians; offset = (round(d*sin a), round(d*cos a))
     levels: int = 256
 
     @property
-    def offset(self) -> tuple[int, int]:
+    def distances(self) -> tuple:
+        d = self.distance
+        return tuple(d) if isinstance(d, (tuple, list)) else (d,)
+
+    @property
+    def angles(self) -> tuple:
+        a = self.angle
+        return tuple(a) if isinstance(a, (tuple, list)) else (a,)
+
+    @property
+    def offsets(self) -> list[tuple[int, int]]:
         import math
 
-        return (
-            int(round(math.sin(self.angle) * self.distance)),
-            int(round(math.cos(self.angle) * self.distance)),
-        )
+        return [
+            (int(round(math.sin(a) * d)), int(round(math.cos(a) * d)))
+            for d in self.distances
+            for a in self.angles
+        ]
+
+    @property
+    def pair_labels(self) -> list[str] | None:
+        """None for a single offset (legacy names); else one tag per pair."""
+        if len(self.distances) == 1 and len(self.angles) == 1:
+            return None
+        import math
+
+        return [
+            f"d{d}a{int(round(math.degrees(a)))}"
+            for d in self.distances
+            for a in self.angles
+        ]
+
+    @property
+    def offset(self) -> tuple[int, int]:
+        return self.offsets[0]
 
 
 @dataclass(frozen=True)

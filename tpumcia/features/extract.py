@@ -43,8 +43,15 @@ class FeatureMatrix:
 
     def channel_columns(self) -> list[list[int]]:
         """Exact-index per-channel column groups (fixes the reference's
-        substring matching, SURVEY.md §3.3)."""
-        return registry.columns_by_channel(self.names, self.num_channels)
+        substring matching, SURVEY.md §3.3). Uses the deterministic block
+        layout, so custom h5 channel names group correctly too."""
+        labels = self.config.glcm.pair_labels if self.config else None
+        return registry.columns_by_channel_positional(
+            self.num_channels,
+            include_intensity=self.config.include_intensity if self.config else True,
+            include_glcm=self.config.include_glcm if self.config else True,
+            num_glcm_blocks=len(labels) if labels else 1,
+        )
 
     def to_pandas(self):
         import pandas as pd
@@ -53,6 +60,30 @@ class FeatureMatrix:
 
     def to_numpy(self) -> np.ndarray:
         return np.asarray(self.values)
+
+    def save(self, path) -> None:
+        """Persist to .npz (values + names + flags)."""
+        np.savez_compressed(
+            path,
+            values=np.asarray(self.values),
+            names=np.array(self.names),
+            num_channels=self.num_channels,
+            degenerate=(
+                np.asarray(self.degenerate)
+                if self.degenerate is not None
+                else np.zeros((len(self), self.num_channels), bool)
+            ),
+        )
+
+    @classmethod
+    def load(cls, path) -> "FeatureMatrix":
+        with np.load(path, allow_pickle=False) as z:
+            return cls(
+                values=z["values"],
+                names=[str(n) for n in z["names"]],
+                num_channels=int(z["num_channels"]),
+                degenerate=z["degenerate"],
+            )
 
 
 def extract_features(
@@ -82,27 +113,19 @@ def extract_features(
 
     images = _as_level_array(images)
     use_pallas = _resolve_pallas(cfg)
-    if use_pallas:
-        from tpumcia.features.pallas_glcm import sufficient_stats_pallas
 
-        stats = sufficient_stats_pallas(
-            images,
-            mask,
-            levels=cfg.glcm.levels,
-            offset=cfg.glcm.offset,
-            with_intensity=cfg.include_intensity,
-            with_glcm=cfg.include_glcm,
-        )
-    else:
-        stats = sufficient_stats(
-            images,
-            mask,
-            levels=cfg.glcm.levels,
-            offset=cfg.glcm.offset,
-            chunk_size=cfg.chunk_size,
-            onehot_dtype=cfg.onehot_dtype,
-            with_intensity=cfg.include_intensity,
-            with_glcm=cfg.include_glcm,
+    def run_stats(offset, with_intensity, with_glcm):
+        if use_pallas:
+            from tpumcia.features.pallas_glcm import sufficient_stats_pallas
+
+            return sufficient_stats_pallas(
+                images, mask, levels=cfg.glcm.levels, offset=offset,
+                with_intensity=with_intensity, with_glcm=with_glcm,
+            )
+        return sufficient_stats(
+            images, mask, levels=cfg.glcm.levels, offset=offset,
+            chunk_size=cfg.chunk_size, onehot_dtype=cfg.onehot_dtype,
+            with_intensity=with_intensity, with_glcm=with_glcm,
         )
 
     backend = {"exact": "host", "hybrid": "hybrid", "device": "device"}[
@@ -110,24 +133,51 @@ def extract_features(
     ]
     if backend == "hybrid" and images.shape[1] * images.shape[2] >= 65536:
         backend = "host"  # hybrid's exact-integer bounds need < 2^16 pixels
-    done = finalize_features(
-        stats,
-        include_intensity=cfg.include_intensity,
-        include_glcm=cfg.include_glcm,
-        backend=backend,
-    )
+
+    # one stats pass per GLCM (distance, angle) offset; intensity only once
+    offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
+    value_blocks = []
+    degenerate = None
+    for i, offset in enumerate(offsets):
+        with_int = cfg.include_intensity and i == 0
+        stats = run_stats(offset, with_int, cfg.include_glcm)
+        done = finalize_features(
+            stats,
+            include_intensity=with_int,
+            include_glcm=cfg.include_glcm,
+            backend=backend,
+        )
+        value_blocks.append(done.values)
+        degenerate = (
+            done.degenerate
+            if degenerate is None
+            else degenerate | np.asarray(done.degenerate)
+        )
+        if not cfg.include_glcm:
+            break
+
+    if len(value_blocks) == 1:
+        values = value_blocks[0]
+    elif isinstance(value_blocks[0], np.ndarray):
+        values = np.concatenate(value_blocks, axis=1)
+    else:
+        import jax.numpy as jnp
+
+        values = jnp.concatenate(value_blocks, axis=1)
+
     num_channels = images.shape[-1]
     names = registry.feature_names(
         num_channels,
         include_intensity=cfg.include_intensity,
         include_glcm=cfg.include_glcm,
         channel_names=channel_names,
+        glcm_pair_labels=cfg.glcm.pair_labels,
     )
     return FeatureMatrix(
-        values=done.values,
+        values=values,
         names=names,
         num_channels=num_channels,
-        degenerate=done.degenerate,
+        degenerate=degenerate,
         config=cfg,
     )
 

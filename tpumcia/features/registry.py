@@ -54,9 +54,12 @@ def feature_names(
     include_intensity: bool = True,
     include_glcm: bool = True,
     channel_names: list[str] | None = None,
+    glcm_pair_labels: list[str] | None = None,
 ) -> list[str]:
     """Column names in reference order. ``channel_names`` (h5 contract key
-    ``channels``, README.md:13) replaces the default Ch1..ChC suffixes."""
+    ``channels``, README.md:13) replaces the default Ch1..ChC suffixes.
+    ``glcm_pair_labels``: one tag per (distance, angle) pair for multi-offset
+    GLCM (None = the reference's single-offset plain names)."""
     if channel_names is not None and len(channel_names) != num_channels:
         raise ValueError("channel_names length must equal num_channels")
 
@@ -69,7 +72,13 @@ def feature_names(
     if include_intensity:
         names += [f + suffix(c) for c in range(num_channels) for f in INTENSITY_FEATURES]
     if include_glcm:
-        names += [f + suffix(c) for c in range(num_channels) for f in GLCM_FEATURES]
+        for label in glcm_pair_labels if glcm_pair_labels else [None]:
+            tag = f"_{label}" if label else ""
+            names += [
+                f + tag + suffix(c)
+                for c in range(num_channels)
+                for f in GLCM_FEATURES
+            ]
     return names
 
 
@@ -96,4 +105,28 @@ def columns_by_channel(names: list[str], num_channels: int) -> list[list[int]]:
         ch = channel_of_column(name)
         if ch is not None and 0 <= ch < num_channels:
             groups[ch].append(idx)
+    return groups
+
+
+def columns_by_channel_positional(
+    num_channels: int,
+    include_intensity: bool = True,
+    include_glcm: bool = True,
+    num_glcm_blocks: int = 1,
+) -> list[list[int]]:
+    """Per-channel column groups from the deterministic block layout
+    (intensity C x 17 channel-major, then per-offset GLCM C x 6 blocks) —
+    independent of the column *names*, so it works with custom h5 channel
+    names."""
+    groups: list[list[int]] = [[] for _ in range(num_channels)]
+    col = 0
+    if include_intensity:
+        for c in range(num_channels):
+            groups[c].extend(range(col, col + NUM_INTENSITY))
+            col += NUM_INTENSITY
+    if include_glcm:
+        for _ in range(num_glcm_blocks):
+            for c in range(num_channels):
+                groups[c].extend(range(col, col + NUM_GLCM))
+                col += NUM_GLCM
     return groups

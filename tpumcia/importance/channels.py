@@ -161,7 +161,7 @@ def channel_importance(
     if method == "permutation":
         from tpumcia.importance.permutation import permutation_importance
 
-        groups = registry.columns_by_channel(names, C)
+        groups = features.channel_columns()
         res = permutation_importance(
             head, np.asarray(X), y, n_repeats=cfg.n_repeats, seed=cfg.seed,
             groups=groups,
@@ -197,8 +197,7 @@ def channel_importance(
         from tpumcia.importance.ablation import channel_ablation_importance
 
         drops = channel_ablation_importance(
-            head, np.asarray(X), y,
-            registry.columns_by_channel(names, C),
+            head, np.asarray(X), y, features.channel_columns(),
         )
         per_channel = [np.array([d]) for d in drops]
         return ChannelImportanceResult(

@@ -81,6 +81,9 @@ def stream_extract(
         )
     manifest["config_tag"] = tag
 
+    from tpumcia.utils.logging import MetricsLogger
+
+    log = MetricsLogger(out_dir / "progress.jsonl", echo=False)
     shard_ids = list(range(0, n, shard_size))
     computed = skipped = 0
     t0 = time.perf_counter()
@@ -128,7 +131,16 @@ def stream_extract(
         }
         _save_manifest(out_dir, manifest)
         computed += 1
+        elapsed_so_far = time.perf_counter() - t0
+        log.log(
+            "shard_done",
+            shard=sid,
+            images=int(stop - start),
+            images_per_second=round(computed * shard_size / elapsed_so_far, 1),
+            degenerate_channels=int(np.asarray(fm.degenerate).sum()),
+        )
     elapsed = time.perf_counter() - t0
+    log.close()
 
     fm, labels = load_feature_shards(out_dir, names=names)
     done_imgs = sum(
