@@ -4,8 +4,10 @@ Replicates the reference's measured workload (BASELINE.md): 12 000 images,
 64x64, 3 channels (1 signal + 2 synthesized noise), 23 features x 3 channels,
 classifier head, and permutation channel importance — the notebook does this
 at 53.46 images/s on one CPU core (ipynb:353). Here the whole pipeline runs
-as batched TPU computations (Pallas stats kernel -> f64 host finalize ->
-device logistic head -> device permutation sweep).
+as batched TPU computations: fused per-batch jit (noise synth -> Pallas stats
+kernel -> hybrid scalar reduction), one packed D2H fetch per batch, O(B*C)
+host f64 assembly, then a device logistic head and the one-jit permutation
+sweeps (channel-grouped and per-feature).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
@@ -32,9 +34,6 @@ def main() -> None:
 
     from tpumcia.config import HeadConfig, ImportanceConfig
     from tpumcia.features import registry
-    from tpumcia.features.finalize import finalize_features
-    from tpumcia.features.stats import SuffStats, sufficient_stats
-    from tpumcia.features.pallas_glcm import sufficient_stats_pallas
     from tpumcia.importance.channels import channel_importance
     from tpumcia.io.synthetic import synthetic_mednist
     from tpumcia.models.heads import fit_head
@@ -44,7 +43,6 @@ def main() -> None:
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    stats_fn = sufficient_stats_pallas if on_tpu else sufficient_stats
 
     # ---- data (host-side synthetic MedNIST stand-in; not timed, mirrors the
     # reference's already-on-disk PNGs) ------------------------------------

@@ -186,3 +186,19 @@ def test_sufficient_stats_shapes(small_batch):
     np.testing.assert_allclose(np.asarray(stats.count), 64 * 64)
     np.testing.assert_allclose(np.asarray(stats.hist).sum(-1), 64 * 64)
     np.testing.assert_allclose(np.asarray(stats.pair_count), 64 * 59)
+
+
+def test_glcm_properties_public_api(rng):
+    """features.props.glcm_properties matches the oracle's graycoprops."""
+    from tpumcia.features.props import glcm_properties
+
+    img = (rng.random((1, 16, 16, 2)) * 256).astype(np.uint8)
+    img[:, 0, 0, :] = 255
+    mats = np.asarray(glcm_matrix(img, levels=256, offset=(0, 3)))
+    props = {k: np.asarray(v) for k, v in glcm_properties(mats).items()}
+    for b in range(1):
+        for c in range(2):
+            raw = mats[b, c].astype(np.uint32)[:, :, None, None]
+            for prop in oracle.GLCM_FEATURES:
+                want = oracle.graycoprops(raw, prop)[0, 0]
+                assert props[prop][b, c] == pytest.approx(want, rel=2e-5), prop
