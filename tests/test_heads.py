@@ -107,3 +107,29 @@ def test_split_modes():
     # determinism
     s4 = train_test_split_indices(100, test_size=0.25, seed=0)
     np.testing.assert_array_equal(s.test_idx, s4.test_idx)
+
+
+def test_mlp_head_learns_nonlinear():
+    """XOR-style labels: linearly inseparable, so the logistic head fails
+    where the MLP succeeds."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(0, 1, size=(600, 2)).astype(np.float32)
+    y = ((X[:, 0] > 0) ^ (X[:, 1] > 0)).astype(np.int32)
+    mlp = fit_head(
+        X, y, config=HeadConfig(kind="mlp", hidden=(32, 32), num_steps=800,
+                                learning_rate=0.01)
+    )
+    logi = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=800))
+    assert mlp.score(X, y) > 0.9
+    assert logi.score(X, y) < 0.7
+
+
+def test_mlp_head_permutation_importance():
+    from tpumcia.importance import permutation_importance
+
+    rng = np.random.default_rng(6)
+    X = rng.normal(0, 1, size=(300, 6)).astype(np.float32)
+    y = (X[:, 2] > 0).astype(np.int32)
+    head = fit_head(X, y, config=HeadConfig(kind="mlp", num_steps=400))
+    res = permutation_importance(head, X, y, n_repeats=4, seed=0)
+    assert res.ranking()[0] == 2

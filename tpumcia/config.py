@@ -99,11 +99,12 @@ class HeadConfig:
     at ipynb:404; the logistic head is the device-resident alternative
     sanctioned by BASELINE.json config 2)."""
 
-    kind: str = "logistic"  # 'logistic' | 'random_forest'
-    # logistic head
+    kind: str = "logistic"  # 'logistic' | 'mlp' | 'random_forest'
+    # logistic / mlp heads
     learning_rate: float = 0.05
     num_steps: int = 500
     l2: float = 1e-4
+    hidden: tuple = (64,)  # mlp hidden layer widths
     # random forest head (sklearn adapter)
     n_estimators: int = 100
     max_depth: int | None = None

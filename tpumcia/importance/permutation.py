@@ -44,6 +44,12 @@ def _scaled_logistic_apply(params, dmin, dscale, X):
     return (X - dmin) * dscale @ params["w"] + params["b"]
 
 
+def _scaled_mlp_apply(params, dmin, dscale, X):
+    from tpumcia.models.heads import mlp_predict_logits
+
+    return mlp_predict_logits(params, (X - dmin) * dscale)
+
+
 def _scaled_forest_apply(feature, threshold, left, right, leaf_proba, dmin,
                          dscale, depth, X):
     from tpumcia.models.forest_device import _forest_proba_impl
@@ -61,7 +67,7 @@ def _device_score_parts(head):
     from jax.tree_util import Partial
 
     from tpumcia.models.forest_device import DeviceForest
-    from tpumcia.models.heads import LogisticHead, RandomForestHead
+    from tpumcia.models.heads import LogisticHead, MLPHead, RandomForestHead
 
     if isinstance(head, RandomForestHead):
         head = head.to_device()
@@ -77,6 +83,12 @@ def _device_score_parts(head):
         dmin, dscale = scale_args(head.scaler, head.params["w"].shape[0])
         return (
             Partial(_scaled_logistic_apply, head.params, dmin, dscale),
+            head.classes,
+        )
+    if isinstance(head, MLPHead):
+        dmin, dscale = scale_args(head.scaler, 1)
+        return (
+            Partial(_scaled_mlp_apply, head.params, dmin, dscale),
             head.classes,
         )
     if isinstance(head, DeviceForest):

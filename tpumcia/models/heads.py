@@ -134,6 +134,110 @@ class LogisticHead:
 
 
 # ---------------------------------------------------------------------------
+# MLP head (device-resident)
+# ---------------------------------------------------------------------------
+
+
+def mlp_predict_logits(params, X):
+    """Pure scoring for the MLP head: dense->relu stack + linear readout."""
+    h = jnp.asarray(X)
+    for layer in params["hidden"]:
+        h = jax.nn.relu(h @ layer["w"] + layer["b"])
+    return h @ params["out"]["w"] + params["out"]["b"]
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps", "lr", "l2"))
+def _fit_mlp(X, y_onehot, params0, *, num_steps: int, lr: float, l2: float):
+    opt = optax.adam(lr)
+
+    def loss_fn(params):
+        logits = mlp_predict_logits(params, X)
+        ce = optax.softmax_cross_entropy(logits, y_onehot).mean()
+        reg = l2 * sum(
+            jnp.sum(layer["w"] ** 2)
+            for layer in (*params["hidden"], params["out"])
+        )
+        return ce + reg
+
+    state = opt.init(params0)
+
+    def step(_, carry):
+        params, state = carry
+        grads = jax.grad(loss_fn)(params)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state
+
+    params, _ = jax.lax.fori_loop(0, num_steps, step, (params0, state))
+    return params
+
+
+@dataclass
+class MLPHead:
+    """Small fully-connected classifier over the feature matrix — a
+    device-resident nonlinear alternative to the forest (same one-jit
+    training shape as :class:`LogisticHead`)."""
+
+    params: dict
+    classes: np.ndarray
+    scaler: MinMaxScaler | None = None
+    config: HeadConfig = field(default_factory=HeadConfig)
+
+    is_device: bool = True
+
+    def _prep(self, X):
+        X = jnp.asarray(X, jnp.float32)
+        return self.scaler.transform(X) if self.scaler is not None else X
+
+    def predict_logits(self, X) -> jax.Array:
+        return mlp_predict_logits(self.params, self._prep(X))
+
+    def predict_proba(self, X) -> jax.Array:
+        return jax.nn.softmax(self.predict_logits(X), axis=-1)
+
+    def predict(self, X) -> np.ndarray:
+        idx = np.asarray(jnp.argmax(self.predict_logits(X), axis=-1))
+        return self.classes[idx]
+
+    def score(self, X, y) -> float:
+        return float(np.mean(self.predict(X) == np.asarray(y)))
+
+    @classmethod
+    def fit(
+        cls,
+        X,
+        y,
+        *,
+        config: HeadConfig | None = None,
+        scaler: MinMaxScaler | None = None,
+        key: jax.Array | None = None,
+    ) -> "MLPHead":
+        cfg = config or HeadConfig(kind="mlp")
+        y = np.asarray(y)
+        classes, y_idx = np.unique(y, return_inverse=True)
+        X = jnp.asarray(X, jnp.float32)
+        if scaler is not None:
+            X = scaler.transform(X)
+        key = key if key is not None else jax.random.key(cfg.seed)
+        dims = [X.shape[1], *cfg.hidden, len(classes)]
+        keys = jax.random.split(key, len(dims) - 1)
+        layers = [
+            {
+                "w": jax.random.normal(k, (d_in, d_out), jnp.float32)
+                * jnp.sqrt(2.0 / d_in),
+                "b": jnp.zeros((d_out,), jnp.float32),
+            }
+            for k, d_in, d_out in zip(keys, dims[:-1], dims[1:])
+        ]
+        params0 = {"hidden": tuple(layers[:-1]), "out": layers[-1]}
+        y_onehot = jax.nn.one_hot(jnp.asarray(y_idx), len(classes))
+        params = _fit_mlp(
+            X, y_onehot, params0,
+            num_steps=cfg.num_steps, lr=cfg.learning_rate, l2=cfg.l2,
+        )
+        return cls(params=params, classes=classes, scaler=scaler, config=cfg)
+
+
+# ---------------------------------------------------------------------------
 # Random forest head (sklearn adapter)
 # ---------------------------------------------------------------------------
 
@@ -223,6 +327,8 @@ def fit_head(
     scaler = MinMaxScaler.fit(X) if scale else None
     if cfg.kind == "logistic":
         return LogisticHead.fit(X, labels, config=cfg, scaler=scaler, key=key)
+    if cfg.kind == "mlp":
+        return MLPHead.fit(X, labels, config=cfg, scaler=scaler, key=key)
     if cfg.kind == "random_forest":
         return RandomForestHead.fit(X, labels, config=cfg, scaler=scaler)
     raise ValueError(f"unknown head kind {cfg.kind!r}")
