@@ -173,11 +173,14 @@ class PipelineConfig:
             kwargs = {}
             for f in dataclasses.fields(tp):
                 if f.name in d:
-                    sub = f.type
                     val = d[f.name]
                     if isinstance(val, dict):
                         sub_tp = _SUBTYPES.get(f.name)
                         kwargs[f.name] = build(sub_tp, val) if sub_tp else val
+                    elif isinstance(val, list):
+                        # JSON has no tuples; all sequence-valued config
+                        # fields are tuples (hidden, distances, angles)
+                        kwargs[f.name] = tuple(val)
                     else:
                         kwargs[f.name] = val
             return tp(**kwargs)
