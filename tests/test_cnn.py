@@ -93,3 +93,18 @@ def test_cnn_checkpoint_roundtrip(trained_head, tiny_dataset, tmp_path):
     np.testing.assert_array_equal(
         restored.predict(images[:8]), trained_head.predict(images[:8])
     )
+
+
+def test_run_cnn_pipeline(tiny_dataset):
+    from tpumcia.pipeline.run_cnn import run_cnn_pipeline
+
+    images, labels = tiny_dataset
+    cfg = CNNConfig(num_classes=3, width=8, depth="10", epochs=5,
+                    batch_size=16, learning_rate=3e-3)
+    res = run_cnn_pipeline(images, labels, config=cfg, n_repeats=2)
+    assert 0.0 <= res.test_accuracy <= 1.0
+    assert res.occlusion.num_channels == 3
+    assert res.permutation.num_channels == 3
+    # channel 1 carries the class signal
+    assert res.occlusion.top_channel() == 0
+    assert "precision" in res.report
