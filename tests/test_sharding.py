@@ -90,3 +90,26 @@ def test_sharded_grouped_permutation(rng):
     )
     assert res.importances.shape == (3, 3)
     assert res.ranking()[0] == 1
+
+
+def test_stream_extract_with_mesh(tmp_path, rng):
+    from tpumcia.config import FeatureConfig
+    from tpumcia.pipeline.streaming import stream_extract
+    from tpumcia.features.extract import extract_features
+
+    images = (rng.random((10, 32, 32, 2)) * 256).astype(np.uint8)
+
+    def fetch(idx):
+        return images[idx], None, None
+
+    mesh = make_mesh()
+    res = stream_extract(
+        fetch, len(images), tmp_path / "mesh_stream", shard_size=4,
+        config=FeatureConfig(precision="exact", use_pallas="never"), mesh=mesh,
+    )
+    ref = extract_features(
+        images, config=FeatureConfig(precision="exact", use_pallas="never")
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.features.values), np.asarray(ref.values)
+    )
