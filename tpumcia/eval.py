@@ -81,6 +81,8 @@ def main(argv=None) -> int:
     p.add_argument("--metrics", type=str, default=None, help="JSONL metrics file")
     args = p.parse_args(argv)
 
+    if args.config and not Path(args.config).exists():
+        p.error(f"config file not found: {args.config}")
     cfg = (
         PipelineConfig.from_json(args.config)
         if args.config

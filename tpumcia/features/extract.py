@@ -30,6 +30,7 @@ class FeatureMatrix:
     num_channels: int
     degenerate: Any = None  # (B, C) bool flags
     config: FeatureConfig = field(default_factory=FeatureConfig)
+    channel_names: list[str] | None = None  # display names (h5 contract)
 
     @property
     def shape(self):
@@ -179,6 +180,7 @@ def extract_features(
         num_channels=num_channels,
         degenerate=degenerate,
         config=cfg,
+        channel_names=list(channel_names) if channel_names else None,
     )
 
 

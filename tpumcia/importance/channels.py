@@ -28,6 +28,7 @@ class ChannelImportanceResult:
     feature_importances: np.ndarray  # (F,) the per-feature values aggregated
     feature_names: list[str]
     method: str = "mdi"
+    channel_names: list[str] | None = None  # display names (h5 contract)
     extras: dict = field(default_factory=dict)
 
     @property
@@ -37,12 +38,17 @@ class ChannelImportanceResult:
     def top_channel(self) -> int:
         return int(self.ranking[0])
 
+    def channel_label(self, c: int) -> str:
+        if self.channel_names is not None and c < len(self.channel_names):
+            return self.channel_names[c]
+        return f"Ch{c + 1}"
+
     def summary(self) -> str:
         lines = [f"channel importance ({self.method}):"]
         for c in self.ranking:
             lines.append(
-                f"  Ch{c + 1}: total={self.total[c]:.4f} mean={self.mean[c]:.4f} "
-                f"n={len(self.per_channel[c])}"
+                f"  {self.channel_label(c)}: total={self.total[c]:.4f} "
+                f"mean={self.mean[c]:.4f} n={len(self.per_channel[c])}"
             )
         return "\n".join(lines)
 
@@ -132,23 +138,29 @@ def channel_importance(
     if method == "auto":
         method = "mdi" if isinstance(head, RandomForestHead) else "permutation"
 
+    ch_names = getattr(features, "channel_names", None)
+
     if method == "mdi":
         if not isinstance(head, RandomForestHead):
             raise TypeError("mdi requires a RandomForestHead")
         imp = head.mdi_importance()
-        return aggregate_channel_importance(
+        out = aggregate_channel_importance(
             imp, names, C, threshold=cfg.mdi_threshold, match=cfg.channel_match,
             method="mdi",
         )
+        out.channel_names = ch_names
+        return out
 
     if method == "coef":
         if not isinstance(head, LogisticHead):
             raise TypeError("coef requires a LogisticHead")
         imp = head.coefficient_importance()
-        return aggregate_channel_importance(
+        out = aggregate_channel_importance(
             imp, names, C, threshold=cfg.mdi_threshold, match=cfg.channel_match,
             method="coef",
         )
+        out.channel_names = ch_names
+        return out
 
     X = (eval_features.values if isinstance(eval_features, FeatureMatrix)
          else eval_features)
@@ -176,6 +188,7 @@ def channel_importance(
             feature_importances=np.zeros(len(names)),
             feature_names=names,
             method="permutation",
+            channel_names=ch_names,
         )
         out.extras["permutation"] = res
         return out
@@ -190,6 +203,7 @@ def channel_importance(
             res.importances_mean, names, C, threshold=None,
             match=cfg.channel_match, method="permutation_features",
         )
+        out.channel_names = ch_names
         out.extras["permutation"] = res
         return out
 
@@ -208,6 +222,7 @@ def channel_importance(
             feature_importances=np.zeros(len(names)),
             feature_names=names,
             method="ablation",
+            channel_names=ch_names,
         )
 
     raise ValueError(f"unknown method {method!r}")

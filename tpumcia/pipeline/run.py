@@ -96,6 +96,7 @@ def run_pipeline(
         num_channels=fm.num_channels,
         degenerate=None,
         config=fm.config,
+        channel_names=fm.channel_names,
     )
 
     t0 = time.perf_counter()

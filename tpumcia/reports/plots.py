@@ -60,7 +60,7 @@ def plot_channel_importance(result, *, ax=None, title: str = "Channel importance
     data = [
         v if len(v) else np.zeros(1) for v in result.per_channel
     ]
-    ax.boxplot(data, tick_labels=[f"Ch{c + 1}" for c in range(len(data))])
+    ax.boxplot(data, tick_labels=[result.channel_label(c) for c in range(len(data))])
     ax.set_ylabel(f"importance ({result.method})")
     ax.set_title(title)
     fig.tight_layout()
