@@ -69,3 +69,52 @@ def test_custom_channel_names_group_positionally(rng):
     groups = fm.channel_columns()
     assert [len(g) for g in groups] == [23, 23]
     assert all(fm.names[i].endswith("_GFP") for i in groups[1])
+
+
+def test_morphology_features_known_shapes():
+    from tpumcia.features.morphology import morphology_features
+
+    mask = np.zeros((2, 40, 40, 2), bool)
+    # rectangle 10x20 at rows 5..14, cols 10..29 in (0, ch0)
+    mask[0, 5:15, 10:30, 0] = True
+    # centered disk radius 8 in (1, ch1)
+    yy, xx = np.mgrid[:40, :40]
+    mask[1, :, :, 1] = np.hypot(yy - 20, xx - 20) <= 8
+
+    f = np.asarray(morphology_features(mask))  # (2, 2, 8)
+    area, cr, cc, major, minor, ecc, orient, extent = f[0, 0]
+    assert area == 200
+    assert cr == pytest.approx(9.5) and cc == pytest.approx(19.5)
+    assert extent == pytest.approx(1.0)
+    assert major > minor > 0
+    # rectangle aligned with columns: orientation ~ +-pi/2
+    assert abs(abs(orient) - np.pi / 2) < 1e-3
+
+    darea, dcr, dcc, dmaj, dmin, decc, _, dext = f[1, 1]
+    assert dcr == pytest.approx(20, abs=0.1) and dcc == pytest.approx(20, abs=0.1)
+    assert decc < 0.1  # disk: near-zero eccentricity
+    assert 0.6 < dext < 0.9  # ~pi/4 bbox fill (discrete disk runs lower)
+
+    # empty channels -> zeros
+    assert np.all(f[0, 1] == 0) and np.all(f[1, 0] == 0)
+
+
+def test_extract_with_morphology(rng):
+    from tpumcia.config import FeatureConfig
+
+    img = (rng.random((3, 24, 24, 2)) * 250 + 5).astype(np.uint8)
+    mask = np.zeros((3, 24, 24, 2), bool)
+    mask[:, 4:20, 6:18, :] = True
+    cfg = FeatureConfig(include_morphology=True, precision="exact",
+                        use_pallas="never")
+    fm = extract_features(img, mask=mask, config=cfg)
+    assert fm.shape == (3, 2 * (17 + 6 + 8))
+    assert "area_Ch1" in fm.names and "eccentricity_Ch2" in fm.names
+    assert fm.column("area_Ch1")[0] == 16 * 12
+    groups = fm.channel_columns()
+    assert [len(g) for g in groups] == [31, 31]
+    flat = sorted(i for g in groups for i in g)
+    assert flat == list(range(fm.shape[1]))
+
+    with pytest.raises(ValueError, match="mask"):
+        extract_features(img, config=cfg)

@@ -77,6 +77,9 @@ class FeatureConfig:
     glcm: GLCMConfig = field(default_factory=GLCMConfig)
     include_intensity: bool = True
     include_glcm: bool = True
+    # moment-based mask shape features (needs a mask; framework extension —
+    # the reference computes no morphology, see features/morphology.py)
+    include_morphology: bool = False
     # 'hybrid': device scalar-reduction + host f64 assembly — exact for
     #          large-magnitude features, ~1e-7 relative on f32-summed ones
     #          (well inside the 1e-5 MAE target); the recommended default.

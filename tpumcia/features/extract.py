@@ -52,6 +52,9 @@ class FeatureMatrix:
             include_intensity=self.config.include_intensity if self.config else True,
             include_glcm=self.config.include_glcm if self.config else True,
             num_glcm_blocks=len(labels) if labels else 1,
+            include_morphology=(
+                self.config.include_morphology if self.config else False
+            ),
         )
 
     def to_pandas(self):
@@ -157,15 +160,6 @@ def extract_features(
         if not cfg.include_glcm:
             break
 
-    if len(value_blocks) == 1:
-        values = value_blocks[0]
-    elif isinstance(value_blocks[0], np.ndarray):
-        values = np.concatenate(value_blocks, axis=1)
-    else:
-        import jax.numpy as jnp
-
-        values = jnp.concatenate(value_blocks, axis=1)
-
     num_channels = images.shape[-1]
     names = registry.feature_names(
         num_channels,
@@ -174,6 +168,32 @@ def extract_features(
         channel_names=channel_names,
         glcm_pair_labels=cfg.glcm.pair_labels,
     )
+
+    if cfg.include_morphology:
+        if mask is None:
+            raise ValueError("include_morphology requires a mask")
+        from tpumcia.features.morphology import (
+            morphology_feature_names,
+            morphology_features,
+        )
+
+        morph = morphology_features(mask)  # (B, C, 8)
+        morph = morph.reshape(morph.shape[0], -1)
+        if isinstance(value_blocks[0], np.ndarray):
+            morph = np.asarray(morph, dtype=value_blocks[0].dtype)
+        value_blocks.append(morph)
+        names += morphology_feature_names(num_channels, channel_names)
+
+    if len(value_blocks) == 1:
+        values = value_blocks[0]
+    elif isinstance(value_blocks[0], np.ndarray):
+        values = np.concatenate(
+            [np.asarray(v) for v in value_blocks], axis=1
+        )
+    else:
+        import jax.numpy as jnp
+
+        values = jnp.concatenate(value_blocks, axis=1)
     return FeatureMatrix(
         values=values,
         names=names,

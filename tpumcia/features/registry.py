@@ -113,6 +113,7 @@ def columns_by_channel_positional(
     include_intensity: bool = True,
     include_glcm: bool = True,
     num_glcm_blocks: int = 1,
+    include_morphology: bool = False,
 ) -> list[list[int]]:
     """Per-channel column groups from the deterministic block layout
     (intensity C x 17 channel-major, then per-offset GLCM C x 6 blocks) —
@@ -129,4 +130,11 @@ def columns_by_channel_positional(
             for c in range(num_channels):
                 groups[c].extend(range(col, col + NUM_GLCM))
                 col += NUM_GLCM
+    if include_morphology:
+        from tpumcia.features.morphology import MORPHOLOGY_FEATURES
+
+        nm = len(MORPHOLOGY_FEATURES)
+        for c in range(num_channels):
+            groups[c].extend(range(col, col + nm))
+            col += nm
     return groups
