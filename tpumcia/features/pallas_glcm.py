@@ -54,101 +54,97 @@ def _rowdot(a, b):
 
 
 def _kernel(
-    raw_ref,  # (1, 1, 1, 1, CH) int32   raw levels (chunk), pixels on lanes
-    w_ref,  # (1, 1, 1, 1, CH) f32    mask weights (chunk)
-    lraw_ref,  # (1, 1, 1, 1, CH) int32   left pair endpoints (chunk)
-    rraw_ref,  # (1, 1, 1, 1, CH) int32   right pair endpoints (chunk)
-    pw_ref,  # (1, 1, 1, 1, CH) f32    pair weights (chunk)
+    in_ref,  # (1, 1, K*5, CH) int32: K chunks of (raw, mask, left, right, pw)
     row_ref,  # (1, 1, 1, L) f32     rescale LUT row for this channel's max
-    hist_ref,  # (1, 1, 1, L) f32     -- outputs, revisited across chunks --
+    hist_ref,  # (1, 1, 1, L) f32     -- outputs, written once per (b, c) --
     count_ref,  # (1, 1, 1, 1) f32
     marg_l_ref,  # (1, 1, 1, L) f32
     marg_r_ref,  # (1, 1, 1, L) f32
     diff_ref,  # (1, 1, 1, DPAD) f32
     sumsq_ref,  # (1, 1, 1, 1) f32
     pairs_ref,  # (1, 1, 1, 1) f32
-    glcm_acc,  # (L, L) f32 scratch   co-occurrence accumulator
     *,
     levels: int,
     dpad: int,
+    num_chunks: int,
 ):
     L = levels
     f32 = jnp.float32
     bf16 = jnp.int8 if _USE_INT8 else jnp.bfloat16
     acc = jnp.int32 if _USE_INT8 else jnp.float32
-    k = pl.program_id(2)
-    num_k = pl.num_programs(2)
 
-    @pl.when(k == 0)
-    def _init():
-        hist_ref[...] = jnp.zeros_like(hist_ref)
-        count_ref[...] = jnp.zeros_like(count_ref)
-        marg_l_ref[...] = jnp.zeros_like(marg_l_ref)
-        marg_r_ref[...] = jnp.zeros_like(marg_r_ref)
-        diff_ref[...] = jnp.zeros_like(diff_ref)
-        sumsq_ref[...] = jnp.zeros_like(sumsq_ref)
-        pairs_ref[...] = jnp.zeros_like(pairs_ref)
-        glcm_acc[...] = jnp.zeros_like(glcm_acc)
-
-    raw = raw_ref[0, 0, 0]  # (1, CH) i32
-    wb = w_ref[0, 0, 0] > 0  # (1, CH) binary mask
-    w = wb.astype(bf16)
-    CH = raw.shape[1]
-
-    iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (L, CH), 0)
-    # mask weights are binary, so weighting a one-hot is a boolean AND —
-    # this keeps every operand a plain 0/1 cast (int8-matmul friendly)
-    oh_raw_t = ((raw == iota_lvl) & wb).astype(bf16)  # (L, CH) weighted
-
-    ones = jnp.ones((1, CH), bf16)
-    hist_ref[0, 0] += _rowdot(ones, oh_raw_t)  # (1, L)
-    count_ref[0, 0] += jnp.sum(wb.astype(f32), axis=1, keepdims=True)
-
-    # Reference rescale (ipynb:293-295): map raw -> uint8 level through the
-    # pre-gathered LUT row:  resc[p] = sum_l row[l] * onehot_t[l, p]
+    packed_all = in_ref[0, 0]  # (K*5, CH) i32; one DMA per grid step
     row = row_ref[0, 0]  # (1, L) f32; row values up to 255 exceed int8
-    lraw = lraw_ref[0, 0, 0]  # (1, CH) i32
-    rraw = rraw_ref[0, 0, 0]
-    pwb = pw_ref[0, 0, 0] > 0  # (1, CH) binary pair mask
-    pw = pwb.astype(bf16)
-
-    oh_lraw_t = (lraw == iota_lvl).astype(bf16)  # (L, CH)
-    oh_rraw_t = (rraw == iota_lvl).astype(bf16)
-    resc_l = jnp.dot(
-        row, oh_lraw_t.astype(jnp.bfloat16) if _USE_INT8 else oh_lraw_t,
-        preferred_element_type=f32,
-    ).astype(jnp.int32)
-    resc_r = jnp.dot(
-        row, oh_rraw_t.astype(jnp.bfloat16) if _USE_INT8 else oh_rraw_t,
-        preferred_element_type=f32,
-    ).astype(jnp.int32)
-
-    oh_l_t = ((resc_l == iota_lvl) & pwb).astype(bf16)  # (L, CH) weighted
-    oh_r_t = (resc_r == iota_lvl).astype(bf16)
-
-    marg_l_ref[0, 0] += _rowdot(ones, oh_l_t)
-    marg_r_ref[0, 0] += _rowdot(pw, oh_r_t)
-
-    diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
+    CH = packed_all.shape[1]
+    iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (L, CH), 0)
     iota_d = jax.lax.broadcasted_iota(jnp.int32, (dpad, CH), 0)
-    oh_d_t = ((diff == iota_d) & pwb).astype(bf16)  # (dpad, CH) weighted
-    diff_ref[0, 0] += _rowdot(ones, oh_d_t)
+    ones = jnp.ones((1, CH), bf16)
 
-    # G[i, j] += sum_p pw_p * [l_p == i] * [r_p == j]  — lane contraction
-    # (pair weight already folded into oh_l_t)
-    glcm_acc[...] += jax.lax.dot_general(
-        oh_l_t,
-        oh_r_t,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=acc,
-    ).astype(f32)  # (L, L)
-    pairs_ref[0, 0] += jnp.sum(pwb.astype(f32), axis=1, keepdims=True)
+    hist = jnp.zeros((1, L), f32)
+    count = jnp.zeros((1, 1), f32)
+    marg_l = jnp.zeros((1, L), f32)
+    marg_r = jnp.zeros((1, L), f32)
+    diffh = jnp.zeros((1, dpad), f32)
+    pairs = jnp.zeros((1, 1), f32)
+    glcm = jnp.zeros((L, L), f32)
 
-    @pl.when(k == num_k - 1)
-    def _emit_sumsq():
-        g = glcm_acc[...]
-        s = jnp.sum(g * g, axis=0, keepdims=True)  # (1, L)
-        sumsq_ref[0, 0] = jnp.sum(s, axis=1, keepdims=True)
+    # the chunk loop is unrolled in-kernel: one grid step per (image, channel)
+    # with write-once outputs (no revisited blocks, no init/emit predication)
+    for k in range(num_chunks):
+        base = 5 * k
+        raw = packed_all[base : base + 1, :]  # (1, CH)
+        wb = packed_all[base + 1 : base + 2, :] > 0
+        lraw = packed_all[base + 2 : base + 3, :]
+        rraw = packed_all[base + 3 : base + 4, :]
+        pwb = packed_all[base + 4 : base + 5, :] > 0
+        pw = pwb.astype(bf16)
+
+        # mask weights are binary, so weighting a one-hot is a boolean AND —
+        # this keeps every operand a plain 0/1 cast (int8-matmul friendly)
+        oh_raw_t = ((raw == iota_lvl) & wb).astype(bf16)  # (L, CH) weighted
+        hist += _rowdot(ones, oh_raw_t)
+        count += jnp.sum(wb.astype(f32), axis=1, keepdims=True)
+
+        # Reference rescale (ipynb:293-295): raw -> uint8 level via the
+        # pre-gathered LUT row:  resc[p] = sum_l row[l] * onehot_t[l, p]
+        oh_lraw_t = (lraw == iota_lvl).astype(bf16)
+        oh_rraw_t = (rraw == iota_lvl).astype(bf16)
+        resc_l = jnp.dot(
+            row, oh_lraw_t.astype(jnp.bfloat16) if _USE_INT8 else oh_lraw_t,
+            preferred_element_type=f32,
+        ).astype(jnp.int32)
+        resc_r = jnp.dot(
+            row, oh_rraw_t.astype(jnp.bfloat16) if _USE_INT8 else oh_rraw_t,
+            preferred_element_type=f32,
+        ).astype(jnp.int32)
+
+        oh_l_t = ((resc_l == iota_lvl) & pwb).astype(bf16)  # (L, CH) weighted
+        oh_r_t = (resc_r == iota_lvl).astype(bf16)
+        marg_l += _rowdot(ones, oh_l_t)
+        marg_r += _rowdot(pw, oh_r_t)
+
+        diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
+        oh_d_t = ((diff == iota_d) & pwb).astype(bf16)  # (dpad, CH) weighted
+        diffh += _rowdot(ones, oh_d_t)
+
+        # G[i, j] += sum_p pw_p * [l_p == i] * [r_p == j]  — lane contraction
+        # (pair weight already folded into oh_l_t)
+        glcm += jax.lax.dot_general(
+            oh_l_t,
+            oh_r_t,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+        ).astype(f32)  # (L, L)
+        pairs += jnp.sum(pwb.astype(f32), axis=1, keepdims=True)
+
+    hist_ref[0, 0] = hist
+    count_ref[0, 0] = count
+    marg_l_ref[0, 0] = marg_l
+    marg_r_ref[0, 0] = marg_r
+    diff_ref[0, 0] = diffh
+    s_col = jnp.sum(glcm * glcm, axis=0, keepdims=True)  # (1, L)
+    sumsq_ref[0, 0] = jnp.sum(s_col, axis=1, keepdims=True)
+    pairs_ref[0, 0] = pairs
 
 
 def _chunk_rows(x, total, K, CH):
@@ -184,35 +180,34 @@ def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
     CH = min(_CHUNK, max(128, HW))
     K = -(-HW // CH)
     total = K * CH
-    raw = _chunk_rows(img.reshape(B, C, HW), total, K, CH)
-    wf = _chunk_rows(w.astype(f32).reshape(B, C, HW), total, K, CH)
-    lraw = _chunk_rows(
-        img[:, :, r0:r1, c0:c1].reshape(B, C, -1), total, K, CH
-    )
-    rraw = _chunk_rows(
+    wi = (w > 0).astype(jnp.int32)
+    streams = [
+        img.reshape(B, C, HW),
+        wi.reshape(B, C, HW),
+        img[:, :, r0:r1, c0:c1].reshape(B, C, -1),
         img[:, :, r0 + dr : r1 + dr, c0 + dc : c1 + dc].reshape(B, C, -1),
-        total, K, CH,
-    )
-    pw = _chunk_rows(
-        (w[:, :, r0:r1, c0:c1] * w[:, :, r0 + dr : r1 + dr, c0 + dc : c1 + dc])
-        .astype(f32)
-        .reshape(B, C, -1),
-        total, K, CH,
-    )
+        (wi[:, :, r0:r1, c0:c1]
+         * wi[:, :, r0 + dr : r1 + dr, c0 + dc : c1 + dc]).reshape(B, C, -1),
+    ]
+    # one packed operand -> one input DMA per grid step instead of five,
+    # with all K chunks in the block (the kernel unrolls the chunk loop)
+    packed = jnp.stack(
+        [_chunk_rows(x.astype(jnp.int32), total, K, CH) for x in streams],
+        axis=4,
+    )[:, :, :, 0, :, :].reshape(B, C, K * 5, CH)
 
-    grid = (B, C, K)
-    chunk = lambda: pl.BlockSpec(
-        (1, 1, 1, 1, CH), lambda b, c, k: (b, c, k, 0, 0),
-        memory_space=pltpu.VMEM,
+    grid = (B, C)
+    in_spec = pl.BlockSpec(
+        (1, 1, K * 5, CH), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
     )
     row_spec = pl.BlockSpec(
-        (1, 1, 1, L), lambda b, c, k: (b, c, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, L), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
     )
     vec = lambda n: pl.BlockSpec(
-        (1, 1, 1, n), lambda b, c, k: (b, c, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, n), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
     )
     scal = pl.BlockSpec(
-        (1, 1, 1, 1), lambda b, c, k: (b, c, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
     )
 
     out_shapes = (
@@ -226,19 +221,18 @@ def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
     )
     out_specs = (vec(L), scal, vec(L), vec(L), vec(dpad), scal, scal)
 
-    kernel = functools.partial(_kernel, levels=L, dpad=dpad)
+    kernel = functools.partial(_kernel, levels=L, dpad=dpad, num_chunks=K)
     hist, count, marg_l, marg_r, diff, sumsq, pairs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[chunk(), chunk(), chunk(), chunk(), chunk(), row_spec],
+        in_specs=[in_spec, row_spec],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((L, L), f32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(raw, wf, lraw, rraw, pw, rows)
+    )(packed, rows)
 
     return SuffStats(
         hist=hist[:, :, 0, :],
