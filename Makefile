@@ -1,0 +1,24 @@
+# Common targets (see CLAUDE.md for environment notes)
+.PHONY: test test-tpu bench examples native clean
+
+test:
+	python -m pytest tests/ -q
+
+test-tpu:
+	TPUMCIA_TEST_BACKEND=native python -m pytest tests/ -m tpu -q
+
+bench:
+	python bench.py
+
+examples:
+	python examples/notebook_workflow.py /tmp/tpumcia_examples
+	python examples/cytometry_h5.py
+	python examples/cnn_workflow.py
+	python examples/streaming_scale.py
+
+native:
+	g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread \
+		native/packer.cpp -o native/libtpumcia_packer.so
+
+clean:
+	rm -rf .jax_cache native/libtpumcia_packer.so

@@ -1,4 +1,15 @@
 from tpumcia.features.extract import extract_features, FeatureMatrix
 from tpumcia.features.registry import feature_names, num_features
+from tpumcia.features.morphology import morphology_features
+from tpumcia.features.props import glcm_properties
+from tpumcia.features.stats import glcm_matrix
 
-__all__ = ["extract_features", "FeatureMatrix", "feature_names", "num_features"]
+__all__ = [
+    "extract_features",
+    "FeatureMatrix",
+    "feature_names",
+    "num_features",
+    "morphology_features",
+    "glcm_properties",
+    "glcm_matrix",
+]

@@ -1,9 +1,10 @@
 """End-to-end batched feature extraction: (B, H, W, C) images -> (B, 23*C).
 
 The reference extracts features in a sequential Python loop at 53.46 images/s
-(ipynb:358-364); here the whole batch is one jitted device computation plus a
-vectorised float64 host finalisation (for ``precision='exact'``) or a fully
-device-resident float32 path (``precision='device'``).
+(ipynb:358-364); here the whole batch is one jitted device computation whose
+scalar reduction is assembled in float64 on host (``precision='hybrid'``,
+the default), with a full-histogram host path (``'exact'``) and a fully
+device-resident float32 path (``'device'``) as alternatives.
 """
 
 from __future__ import annotations
