@@ -121,7 +121,8 @@ def stream_extract(
         if labels is not None:
             payload["labels"] = np.asarray(labels)
         tmp = shard_file.with_suffix(".tmp.npz")
-        np.savez_compressed(tmp, **payload)
+        # uncompressed: feature shards are small and zlib is host-CPU-bound
+        np.savez(tmp, **payload)
         os.replace(tmp, shard_file)
         manifest["shards"][sid] = {
             "status": "done",
