@@ -133,3 +133,24 @@ def test_mlp_head_permutation_importance():
     head = fit_head(X, y, config=HeadConfig(kind="mlp", num_steps=400))
     res = permutation_importance(head, X, y, n_repeats=4, seed=0)
     assert res.ranking()[0] == 2
+
+
+def test_logistic_head_checkpoint(blobs, tmp_path):
+    X, y = blobs
+    head = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=200))
+    p = tmp_path / "logistic.npz"
+    head.save(p)
+    restored = LogisticHead.load(p)
+    np.testing.assert_array_equal(restored.predict(X), head.predict(X))
+
+
+def test_rf_head_checkpoint(blobs, tmp_path):
+    X, y = blobs
+    head = fit_head(X, y, config=HeadConfig(kind="random_forest", n_estimators=10))
+    p = tmp_path / "forest.joblib"
+    head.save(p)
+    restored = RandomForestHead.load(p)
+    np.testing.assert_array_equal(restored.predict(X), head.predict(X))
+    np.testing.assert_array_equal(
+        restored.mdi_importance(), head.mdi_importance()
+    )

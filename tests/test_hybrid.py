@@ -61,3 +61,29 @@ def test_hybrid_falls_back_for_large_images(rng):
     a = extract_features(img, config=HYBRID)
     b = extract_features(img, config=EXACT)
     np.testing.assert_array_equal(a.values, b.values)  # same (host) backend
+
+
+@pytest.mark.slow
+def test_hybrid_fuzz_vs_exact(rng):
+    """Randomized images + masks: hybrid stays within the MAE target of the
+    exact path across many draws (regression net for the exact-integer
+    bounds and mask interactions)."""
+    for trial in range(8):
+        B = int(rng.integers(1, 4))
+        H = int(rng.integers(8, 48))
+        W = int(rng.integers(8, 48))
+        C = int(rng.integers(1, 4))
+        img = (rng.random((B, H, W, C)) * 256).astype(np.uint8)
+        if trial % 3 == 0:
+            mask = rng.random((B, H, W, C)) > rng.uniform(0.1, 0.7)
+        else:
+            mask = None
+        a = extract_features(img, mask=mask, config=HYBRID)
+        b = extract_features(img, mask=mask, config=EXACT)
+        av = np.nan_to_num(np.asarray(a.values, np.float64))
+        bv = np.nan_to_num(np.asarray(b.values, np.float64))
+        err = np.abs(av - bv)
+        assert err.max() < 1e-5, (trial, B, H, W, C, err.max())
+        np.testing.assert_array_equal(
+            np.asarray(a.degenerate), np.asarray(b.degenerate)
+        )

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 MORPHOLOGY_FEATURES: tuple[str, ...] = (
     "area",

@@ -11,7 +11,6 @@ heads) instead of breaking feature-label alignment.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 
 def channel_ablation_importance(

@@ -18,7 +18,6 @@ variable-size crops standardised by center crop/pad.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 from pathlib import Path
 

@@ -9,7 +9,6 @@ uint8 tensor is what goes to device (SURVEY.md §2.2).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from pathlib import Path
 

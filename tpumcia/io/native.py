@@ -8,7 +8,6 @@ so the framework works without a toolchain.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -92,6 +92,30 @@ class LogisticHead:
         """Mean accuracy (sklearn's classifier ``score`` contract)."""
         return float(np.mean(self.predict(X) == np.asarray(y)))
 
+    def save(self, path) -> None:
+        """npz checkpoint (params + classes + scaler) — SURVEY.md §5 plan."""
+        payload = {
+            "w": np.asarray(self.params["w"]),
+            "b": np.asarray(self.params["b"]),
+            "classes": np.asarray(self.classes),
+        }
+        if self.scaler is not None:
+            payload["scaler_min"] = np.asarray(self.scaler.data_min)
+            payload["scaler_max"] = np.asarray(self.scaler.data_max)
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path) -> "LogisticHead":
+        with np.load(path, allow_pickle=False) as z:
+            scaler = None
+            if "scaler_min" in z:
+                scaler = MinMaxScaler.from_stats(z["scaler_min"], z["scaler_max"])
+            return cls(
+                params={"w": jnp.asarray(z["w"]), "b": jnp.asarray(z["b"])},
+                classes=z["classes"],
+                scaler=scaler,
+            )
+
     def coefficient_importance(self) -> np.ndarray:
         """Normalised mean |weight| per feature — a linear-model analogue of
         the forest's MDI ranking (documented proxy, not an MDI)."""
@@ -270,6 +294,37 @@ class RandomForestHead:
         """Mean-decrease-in-impurity importances (the reference's
         ``model.feature_importances_``, ipynb:434)."""
         return np.asarray(self.model.feature_importances_)
+
+    def save(self, path) -> None:
+        """joblib checkpoint of the sklearn forest + scaler (SURVEY.md §5)."""
+        import joblib
+
+        joblib.dump(
+            {
+                "model": self.model,
+                "classes": np.asarray(self.classes),
+                "scaler": self.scaler.to_numpy() if self.scaler else None,
+                "config": self.config,
+            },
+            path,
+        )
+
+    @classmethod
+    def load(cls, path) -> "RandomForestHead":
+        import joblib
+
+        blob = joblib.load(path)
+        scaler = None
+        if blob["scaler"] is not None:
+            scaler = MinMaxScaler.from_stats(
+                blob["scaler"]["data_min"], blob["scaler"]["data_max"]
+            )
+        return cls(
+            model=blob["model"],
+            classes=blob["classes"],
+            scaler=scaler,
+            config=blob["config"],
+        )
 
     def to_device(self):
         """Compile the fitted forest into device arrays for TPU inference."""

@@ -18,7 +18,6 @@ from tpumcia.config import PipelineConfig
 from tpumcia.features.extract import FeatureMatrix, extract_features
 from tpumcia.importance.channels import ChannelImportanceResult, channel_importance
 from tpumcia.models.heads import fit_head
-from tpumcia.models.scaler import MinMaxScaler
 from tpumcia.utils.metrics import accuracy, classification_report
 from tpumcia.utils.split import train_test_split_indices
 
