@@ -56,3 +56,26 @@ def test_pallas_compiled_on_tpu(small_batch):
     ref = sufficient_stats(small_batch)
     got = sufficient_stats_pallas(small_batch)
     _assert_stats_equal(ref, got)
+
+
+@pytest.mark.tpu
+def test_full_pipeline_compiled_on_tpu(small_batch):
+    """End-to-end (Pallas stats -> hybrid finalize -> head -> channel
+    permutation) compiled on the real chip."""
+    import numpy as np
+
+    from tpumcia.config import FeatureConfig, HeadConfig, ImportanceConfig
+    from tpumcia.features.extract import extract_features
+    from tpumcia.importance.channels import channel_importance
+    from tpumcia.models.heads import fit_head
+    from tpumcia.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    fm = extract_features(small_batch, config=FeatureConfig(use_pallas="always"))
+    X = np.nan_to_num(np.asarray(fm.values, np.float32))
+    y = np.arange(len(X)) % 2
+    head = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=50))
+    res = channel_importance(
+        head, fm, y, method="permutation", config=ImportanceConfig(n_repeats=2)
+    )
+    assert res.num_channels == 3

@@ -79,6 +79,10 @@ def main(argv=None) -> int:
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--plots", type=str, default=None, help="figure output dir")
     p.add_argument("--metrics", type=str, default=None, help="JSONL metrics file")
+    p.add_argument(
+        "--profile", type=str, default=None,
+        help="capture a jax profiler trace of the pipeline into this dir",
+    )
     args = p.parse_args(argv)
 
     if args.config and not Path(args.config).exists():
@@ -95,10 +99,20 @@ def main(argv=None) -> int:
     images, labels, masks, channel_names, groups = _load_data(args, cfg)
     log.log("data_loaded", n=len(images), shape=list(images.shape))
 
-    result = run_pipeline(
-        images, labels, mask=masks, config=cfg,
-        channel_names=channel_names, groups=groups,
-    )
+    if args.profile:
+        from tpumcia.utils.profiling import capture_trace
+
+        with capture_trace(args.profile):
+            result = run_pipeline(
+                images, labels, mask=masks, config=cfg,
+                channel_names=channel_names, groups=groups,
+            )
+        print(f"profiler trace in {args.profile}")
+    else:
+        result = run_pipeline(
+            images, labels, mask=masks, config=cfg,
+            channel_names=channel_names, groups=groups,
+        )
     log.log(
         "pipeline_done",
         test_accuracy=result.test_accuracy,
