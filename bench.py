@@ -86,8 +86,9 @@ def main() -> None:
     def features_for(gray_batches):
         keys = jax.random.split(key, len(gray_batches))
         packed = [_one_batch_jit((g, k)) for g, k in zip(gray_batches, keys)]
+        # one fetch per batch: batch i's D2H overlaps batch i+1's compute
         flat = unpack_reduced(
-            np.concatenate([np.asarray(p) for p in packed])  # 1 fetch/batch
+            np.concatenate([np.asarray(p) for p in packed])
         )
         return np.asarray(assemble_reduced(flat).values)
 

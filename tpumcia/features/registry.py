@@ -83,11 +83,19 @@ def feature_names(
 
 
 def num_features(
-    num_channels: int, include_intensity: bool = True, include_glcm: bool = True
+    num_channels: int,
+    include_intensity: bool = True,
+    include_glcm: bool = True,
+    num_glcm_blocks: int = 1,
+    include_morphology: bool = False,
 ) -> int:
     per = (NUM_INTENSITY if include_intensity else 0) + (
-        NUM_GLCM if include_glcm else 0
+        NUM_GLCM * num_glcm_blocks if include_glcm else 0
     )
+    if include_morphology:
+        from tpumcia.features.morphology import MORPHOLOGY_FEATURES
+
+        per += len(MORPHOLOGY_FEATURES)
     return per * num_channels
 
 
