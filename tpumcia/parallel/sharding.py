@@ -49,30 +49,44 @@ def sufficient_stats_sharded(
     offset: tuple[int, int] = (0, 5),
     chunk_size: int = 32,
     onehot_dtype: str = "bfloat16",
+    use_pallas: str = "auto",
 ) -> SuffStats:
     """Per-(image, channel) sufficient statistics with the batch sharded over
-    the mesh's ``data`` axis. Output stats stay sharded the same way."""
+    the mesh's ``data`` axis. Output stats stay sharded the same way.
+    On TPU meshes each device runs the fused Pallas kernel on its local
+    shard (``use_pallas='auto'``); CPU meshes use the XLA path."""
     img, w = _prep_inputs(images, mask)
     n_data = mesh.shape["data"]
     img, orig_b = _pad_to_multiple(img, n_data)
     w, _ = _pad_to_multiple(w, n_data)
     lut = jnp.asarray(rescale_lut(levels))
 
-    one = functools.partial(
-        _single_image_stats,
-        lut=lut,
-        levels=levels,
-        offset=offset,
-        onehot_dtype=jnp.dtype(onehot_dtype),
-        with_intensity=True,
-        with_glcm=True,
-    )
+    on_tpu = mesh.devices.flatten()[0].platform == "tpu"
+    pallas = use_pallas == "always" or (use_pallas == "auto" and on_tpu)
 
-    def local(img_l, w_l):
-        bs = min(chunk_size, img_l.shape[0])
-        return jax.lax.map(
-            lambda xw: one(xw[0], xw[1]), (img_l, w_l), batch_size=bs
+    if pallas:
+        from tpumcia.features.pallas_glcm import _pallas_stats_jit
+
+        def local(img_l, w_l):
+            return _pallas_stats_jit(img_l, w_l, lut, levels=levels,
+                                     offset=offset)
+
+    else:
+        one = functools.partial(
+            _single_image_stats,
+            lut=lut,
+            levels=levels,
+            offset=offset,
+            onehot_dtype=jnp.dtype(onehot_dtype),
+            with_intensity=True,
+            with_glcm=True,
         )
+
+        def local(img_l, w_l):
+            bs = min(chunk_size, img_l.shape[0])
+            return jax.lax.map(
+                lambda xw: one(xw[0], xw[1]), (img_l, w_l), batch_size=bs
+            )
 
     spec_in = P("data")
     fn = shard_map(
@@ -80,6 +94,8 @@ def sufficient_stats_sharded(
         mesh=mesh,
         in_specs=(spec_in, spec_in),
         out_specs=SuffStats(*([spec_in] * len(SuffStats._fields))),
+        # pallas_call's out_shape structs carry no vma annotation
+        check_vma=not pallas,
     )
     stats = jax.jit(fn)(img, w)
     return SuffStats(*(s[:orig_b] for s in stats))
