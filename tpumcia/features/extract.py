@@ -97,6 +97,7 @@ def extract_features(
     *,
     config: FeatureConfig | None = None,
     channel_names: list[str] | None = None,
+    mesh=None,
 ) -> FeatureMatrix:
     """Extract the hand-crafted feature set from a batch of level-quantised
     images.
@@ -111,6 +112,9 @@ def extract_features(
         (h5 contract, README.md:9).
     config : FeatureConfig; defaults mirror the notebook (GLCM distance 5,
         angle 0, 256 levels).
+    mesh : optional jax.sharding.Mesh — shard the batch over its ``data``
+        axis (shard_map SPMD; SURVEY.md §2.4). Feature values are identical
+        to the single-device path (the statistics are exact integers).
     """
     cfg = config or FeatureConfig()
     if not (cfg.include_intensity or cfg.include_glcm):
@@ -120,6 +124,15 @@ def extract_features(
     use_pallas = _resolve_pallas(cfg)
 
     def run_stats(offset, with_intensity, with_glcm):
+        if mesh is not None:
+            from tpumcia.parallel.sharding import sufficient_stats_sharded
+
+            return sufficient_stats_sharded(
+                images, mask, mesh=mesh, levels=cfg.glcm.levels, offset=offset,
+                chunk_size=cfg.chunk_size, onehot_dtype=cfg.onehot_dtype,
+                use_pallas=cfg.use_pallas,
+                with_intensity=with_intensity, with_glcm=with_glcm,
+            )
         if use_pallas:
             from tpumcia.features.pallas_glcm import sufficient_stats_pallas
 

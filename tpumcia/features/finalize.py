@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpumcia.features.stats import SuffStats
+from tpumcia.features.stats import SuffStats, glcm_sumsq_value
 
 _QS = np.array([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
 
@@ -125,7 +125,7 @@ def _glcm_block(marg_l, marg_r, diff_hist, sumsq, npairs, xp, dtype):
     contrast = xp.sum(Pd * d2, axis=-1)
     dissimilarity = xp.sum(Pd * xp.abs(d), axis=-1)
     homogeneity = xp.sum(Pd / (1.0 + d2), axis=-1)
-    asm = sumsq.astype(dtype) / (safe_N * safe_N)
+    asm = glcm_sumsq_value(sumsq, xp, dtype) / (safe_N * safe_N)
     energy = xp.sqrt(asm)
 
     mu_i = xp.sum(i * Pl, axis=-1)
@@ -179,7 +179,7 @@ def _pack_jit(s: SuffStats, *, narrow: str) -> SuffStats:
         marg_l=s.marg_l.astype(nd),
         marg_r=s.marg_r.astype(nd),
         diff_hist=s.diff_hist.astype(nd),
-        glcm_sumsq=s.glcm_sumsq,  # exact-int f32, not u16-representable
+        glcm_sumsq=s.glcm_sumsq,  # exact int32 limbs, not u16-representable
         pair_count=s.pair_count.astype(jnp.int32),
     )
 

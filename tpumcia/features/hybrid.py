@@ -133,23 +133,24 @@ def _device_reduce(stats: SuffStats):
     )
 
 
-# packing layout: 21 (B, C) scalars, then 3 x (B, C, 9) percentile vectors.
-# Every value is exactly representable in f32 (integers < 2^24 or already f32).
+# packing layout: 20 (B, C) scalars, then (B, C, k) vectors (percentile
+# triples of 9 + the 4 sumsq limbs). Every value is exactly representable in
+# f32 in the hybrid regime (integers < 2^24 or already f32).
 _SCALAR_FIELDS = (
     "n", "vmax", "min_lev", "max_lev", "total_raw", "m2", "m3", "m4",
     "entropy", "s_i2_hi", "s_i2_lo", "s_j2_hi", "s_j2_lo", "s_d2_hi",
-    "s_d2_lo", "s_i", "s_j", "dissim_raw", "homog_sum", "sumsq", "npairs",
+    "s_d2_lo", "s_i", "s_j", "dissim_raw", "homog_sum", "npairs",
 )
-_VEC_FIELDS = ("idx_lo", "idx_hi", "rem")  # 9 each
+_VEC_FIELDS = (("idx_lo", 9), ("idx_hi", 9), ("rem", 9), ("sumsq", 4))
 
 
 @jax.jit
 def _device_reduce_packed(stats: SuffStats) -> jax.Array:
-    """Single (B, C, 48) f32 array — one D2H fetch instead of 25 (each fetch
+    """Single (B, C, 51) f32 array — one D2H fetch instead of 25 (each fetch
     pays full round-trip latency on a remote device link)."""
     r = _device_reduce(stats)
     parts = [r[f].astype(jnp.float32)[..., None] for f in _SCALAR_FIELDS]
-    parts += [r[f].astype(jnp.float32) for f in _VEC_FIELDS]
+    parts += [r[f].astype(jnp.float32) for f, _ in _VEC_FIELDS]
     return jnp.concatenate(parts, axis=-1)
 
 
@@ -159,8 +160,9 @@ def unpack_reduced(packed: np.ndarray) -> dict:
     for i, f in enumerate(_SCALAR_FIELDS):
         out[f] = packed[..., i]
     base = len(_SCALAR_FIELDS)
-    for j, f in enumerate(_VEC_FIELDS):
-        out[f] = packed[..., base + 9 * j : base + 9 * (j + 1)]
+    for f, width in _VEC_FIELDS:
+        out[f] = packed[..., base : base + width]
+        base += width
     return out
 
 
@@ -235,7 +237,9 @@ def assemble_reduced(
         contrast = s_d2 / safe_N
         dissimilarity = r["dissim_raw"].astype(f64) / safe_N
         homogeneity = r["homog_sum"].astype(f64) / safe_N
-        asm = r["sumsq"].astype(f64) / (safe_N * safe_N)
+        from tpumcia.features.stats import glcm_sumsq_value
+
+        asm = glcm_sumsq_value(r["sumsq"], np, f64) / (safe_N * safe_N)
         energy = np.sqrt(asm)
         # correlation from exact integer sums: cov*N^2 = N*s_ij - s_i*s_j
         s_ij = (s_i2 + s_j2 - s_d2) / 2.0

@@ -61,7 +61,7 @@ def _kernel(
     marg_l_ref,  # (1, 1, 1, L) f32
     marg_r_ref,  # (1, 1, 1, L) f32
     diff_ref,  # (1, 1, 1, DPAD) f32
-    sumsq_ref,  # (1, 1, 1, 1) f32
+    sumsq_ref,  # (1, 1, 1, 4) i32 limbs (see stats._glcm_sumsq_limbs)
     pairs_ref,  # (1, 1, 1, 1) f32
     *,
     levels: int,
@@ -86,7 +86,8 @@ def _kernel(
     marg_r = jnp.zeros((1, L), f32)
     diffh = jnp.zeros((1, dpad), f32)
     pairs = jnp.zeros((1, 1), f32)
-    glcm = jnp.zeros((L, L), f32)
+    # integer accumulator on the int8 path keeps counts exact to 2^31
+    glcm = jnp.zeros((L, L), acc)
 
     # the chunk loop is unrolled in-kernel: one grid step per (image, channel)
     # with write-once outputs (no revisited blocks, no init/emit predication)
@@ -134,7 +135,7 @@ def _kernel(
             oh_r_t,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc,
-        ).astype(f32)  # (L, L)
+        )  # (L, L)
         pairs += jnp.sum(pwb.astype(f32), axis=1, keepdims=True)
 
     hist_ref[0, 0] = hist
@@ -142,8 +143,23 @@ def _kernel(
     marg_l_ref[0, 0] = marg_l
     marg_r_ref[0, 0] = marg_r
     diff_ref[0, 0] = diffh
-    s_col = jnp.sum(glcm * glcm, axis=0, keepdims=True)  # (1, L)
-    sumsq_ref[0, 0] = jnp.sum(s_col, axis=1, keepdims=True)
+    # exact sum(G^2) as base-2^k integer limbs (stats._glcm_sumsq_limbs):
+    # c = a*2^12 + b -> S = 2^24*S(a^2) + 2^13*S(ab) + 2^8*S(b^2>>8) + S(b^2&255)
+    g = glcm.astype(jnp.int32)
+    ga = g >> 12
+    gb = g & 4095
+    gbb = gb * gb
+
+    def _total(x):  # (L, L) i32 -> (1, 1)
+        return jnp.sum(jnp.sum(x, axis=0, keepdims=True), axis=1, keepdims=True)
+
+    iota4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+    sumsq_ref[0, 0] = (
+        _total(ga * ga) * (iota4 == 0)
+        + _total(ga * gb) * (iota4 == 1)
+        + _total(gbb >> 8) * (iota4 == 2)
+        + _total(gbb & 255) * (iota4 == 3)
+    )
     pairs_ref[0, 0] = pairs
 
 
@@ -216,10 +232,10 @@ def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
         jax.ShapeDtypeStruct((B, C, 1, L), f32),  # marg_l
         jax.ShapeDtypeStruct((B, C, 1, L), f32),  # marg_r
         jax.ShapeDtypeStruct((B, C, 1, dpad), f32),  # diff_hist (padded)
-        jax.ShapeDtypeStruct((B, C, 1, 1), f32),  # sumsq
+        jax.ShapeDtypeStruct((B, C, 1, 4), jnp.int32),  # sumsq limbs
         jax.ShapeDtypeStruct((B, C, 1, 1), f32),  # pair_count
     )
-    out_specs = (vec(L), scal, vec(L), vec(L), vec(dpad), scal, scal)
+    out_specs = (vec(L), scal, vec(L), vec(L), vec(dpad), vec(4), scal)
 
     kernel = functools.partial(_kernel, levels=L, dpad=dpad, num_chunks=K)
     hist, count, marg_l, marg_r, diff, sumsq, pairs = pl.pallas_call(
@@ -241,7 +257,7 @@ def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
         marg_l=marg_l[:, :, 0, :],
         marg_r=marg_r[:, :, 0, :],
         diff_hist=diff[:, :, 0, : 2 * L - 1],
-        glcm_sumsq=sumsq[:, :, 0, 0],
+        glcm_sumsq=sumsq[:, :, 0, :],
         pair_count=pairs[:, :, 0, 0],
     )
 

@@ -43,7 +43,10 @@ class SuffStats(NamedTuple):
     marg_l: jax.Array  # (B, C, L)    GLCM left-pixel marginal (rescaled levels)
     marg_r: jax.Array  # (B, C, L)    GLCM right-pixel marginal
     diff_hist: jax.Array  # (B, C, 2L-1) histogram of (left - right) + (L-1)
-    glcm_sumsq: jax.Array  # (B, C)       sum over the GLCM of count^2
+    glcm_sumsq: jax.Array  # (B, C, 4) i32 limbs of sum(count^2); see
+    #                        glcm_sumsq_value — exact for pair counts < 2^24
+    #                        (a raw f32 sum of squares loses integer exactness
+    #                        once any co-occurrence cell exceeds 4096)
     pair_count: jax.Array  # (B, C)       number of valid (masked) pixel pairs
 
 
@@ -68,6 +71,42 @@ def rescale_lut(levels: int = 256) -> np.ndarray:
     lut = lut.astype(np.uint8 if levels <= 256 else np.int32).astype(np.int32)
     lut[0, :] = 0
     return lut
+
+
+def _glcm_sumsq_limbs(glcm_i32, reduce_axes):
+    """Exact integer limbs of ``sum(G^2)`` over int32 co-occurrence counts.
+
+    With ``c = a*2^12 + b`` (a = c >> 12, b = c & 4095):
+    ``sum(c^2) = 2^24*sum(a^2) + 2^13*sum(a*b) + 2^8*sum((b^2)>>8)
+    + sum((b^2)&255)``. Each partial sum stays < 2^31 for per-channel pair
+    counts < 2^24 (sum(a^2) <= P^2/2^24, sum(ab) <= P, sum(b^2>>8) <= 16*P,
+    sum(b^2&255) <= 255*L^2), so the int32 sums — and the float64 host
+    reassembly in :func:`glcm_sumsq_value` — are exact.
+    """
+    a = glcm_i32 >> 12
+    b = glcm_i32 & 4095
+    bb = b * b
+    return jnp.stack(
+        [
+            jnp.sum(a * a, axis=reduce_axes),
+            jnp.sum(a * b, axis=reduce_axes),
+            jnp.sum(bb >> 8, axis=reduce_axes),
+            jnp.sum(bb & 255, axis=reduce_axes),
+        ],
+        axis=-1,
+    )
+
+
+def glcm_sumsq_value(limbs, xp=np, dtype=np.float64):
+    """Reassemble the (.., 4) limbs of :func:`_glcm_sumsq_limbs` into
+    ``sum(G^2)`` (use float64 on host for exactness)."""
+    s = limbs.astype(dtype)
+    return (
+        s[..., 0] * 16777216.0
+        + s[..., 1] * 8192.0
+        + s[..., 2] * 256.0
+        + s[..., 3]
+    )
 
 
 def _one_hot(values: jax.Array, size: int, dtype) -> jax.Array:
@@ -111,7 +150,7 @@ def _single_image_stats(
             zL,
             zL,
             jnp.zeros((C, 2 * L - 1), f32),
-            jnp.zeros((C,), f32),
+            jnp.zeros((C, 4), jnp.int32),
             jnp.zeros((C,), f32),
         )
 
@@ -150,7 +189,7 @@ def _single_image_stats(
     # Full co-occurrence matrix on the MXU; only its sum of squares leaves the
     # op (needed for ASM/energy — the one prop not derivable from marginals).
     glcm = jnp.einsum("cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32)
-    glcm_sumsq = jnp.sum(glcm * glcm, axis=(1, 2))
+    glcm_sumsq = _glcm_sumsq_limbs(glcm.astype(jnp.int32), reduce_axes=(1, 2))
     pair_count = jnp.sum(pw.astype(f32), axis=1)
 
     return SuffStats(

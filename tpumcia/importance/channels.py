@@ -61,11 +61,16 @@ def aggregate_channel_importance(
     threshold: float = 0.01,
     match: str = "exact",
     method: str = "mdi",
+    groups: list[list[int]] | None = None,
 ) -> ChannelImportanceResult:
     """Group per-feature importances into per-channel distributions.
 
     ``threshold`` drops features with importance <= threshold before
     aggregation (reference ipynb:459: ``value > 0.01``).
+    ``groups`` (per-channel column index lists) overrides name-based
+    matching — required when columns carry custom h5 channel names
+    (contract key ``channels``, README.md:13) that no ``_Ch{i}`` parse can
+    resolve.
     """
     imp = np.asarray(importances, dtype=np.float64)
     if imp.shape[0] != len(names):
@@ -73,8 +78,19 @@ def aggregate_channel_importance(
     if threshold is None:
         threshold = -np.inf  # keep everything (incl. zero/negative drops)
 
-    if match == "exact":
+    if groups is not None:
+        if len(groups) != num_channels:
+            raise ValueError("groups length must equal num_channels")
+    elif match == "exact":
         groups = registry.columns_by_channel(list(names), num_channels)
+        if all(len(g) == 0 for g in groups):
+            # custom channel names carry no _Ch{i} suffix; silently
+            # returning zeros would fake a "no channel matters" result
+            raise ValueError(
+                "no _Ch{i} suffixes found in feature names; pass "
+                "groups= (e.g. FeatureMatrix.channel_columns()) for "
+                "custom channel names"
+            )
     elif match == "substring":
         # reference semantics (ipynb:462): `"Ch{i}" in name`
         groups = [
@@ -101,6 +117,22 @@ def aggregate_channel_importance(
     )
 
 
+def _sweep(head, X, y, *, n_repeats, seed, groups, mesh):
+    """Permutation sweep, sharded over the mesh's data axis when given."""
+    if mesh is not None:
+        from tpumcia.parallel.sharding import permutation_importance_sharded
+
+        return permutation_importance_sharded(
+            head, X, y, mesh=mesh, n_repeats=n_repeats, seed=seed,
+            groups=groups,
+        )
+    from tpumcia.importance.permutation import permutation_importance
+
+    return permutation_importance(
+        head, X, y, n_repeats=n_repeats, seed=seed, groups=groups
+    )
+
+
 def channel_importance(
     head,
     features,
@@ -110,6 +142,7 @@ def channel_importance(
     config: ImportanceConfig | None = None,
     eval_features=None,
     eval_labels=None,
+    mesh=None,
 ) -> ChannelImportanceResult:
     """High-level channel importance, mirroring the notebook workflow
     (cells 23-28): derive per-feature importances from the head, then
@@ -139,6 +172,11 @@ def channel_importance(
         method = "mdi" if isinstance(head, RandomForestHead) else "permutation"
 
     ch_names = getattr(features, "channel_names", None)
+    # positional layout groups work regardless of custom h5 channel names;
+    # used for 'exact' matching (substring compat keeps name-based matching)
+    pos_groups = (
+        features.channel_columns() if cfg.channel_match == "exact" else None
+    )
 
     if method == "mdi":
         if not isinstance(head, RandomForestHead):
@@ -146,7 +184,7 @@ def channel_importance(
         imp = head.mdi_importance()
         out = aggregate_channel_importance(
             imp, names, C, threshold=cfg.mdi_threshold, match=cfg.channel_match,
-            method="mdi",
+            method="mdi", groups=pos_groups,
         )
         out.channel_names = ch_names
         return out
@@ -157,7 +195,7 @@ def channel_importance(
         imp = head.coefficient_importance()
         out = aggregate_channel_importance(
             imp, names, C, threshold=cfg.mdi_threshold, match=cfg.channel_match,
-            method="coef",
+            method="coef", groups=pos_groups,
         )
         out.channel_names = ch_names
         return out
@@ -171,21 +209,25 @@ def channel_importance(
         raise ValueError(f"method {method!r} needs labels for scoring")
 
     if method == "permutation":
-        from tpumcia.importance.permutation import permutation_importance
-
         groups = features.channel_columns()
-        res = permutation_importance(
+        res = _sweep(
             head, np.asarray(X), y, n_repeats=cfg.n_repeats, seed=cfg.seed,
-            groups=groups,
+            groups=groups, mesh=mesh,
         )
         per_channel = [res.importances[c] for c in range(C)]
         total = res.importances_mean.copy()
+        # a grouped sweep has no per-feature resolution; broadcast each
+        # channel's mean drop onto its member columns (documented semantic —
+        # use method='permutation_features' for per-column importances)
+        feat_imp = np.zeros(len(names))
+        for c, cols in enumerate(groups):
+            feat_imp[cols] = total[c]
         out = ChannelImportanceResult(
             per_channel=per_channel,
             mean=total,
             total=total,
             ranking=np.argsort(total)[::-1],
-            feature_importances=np.zeros(len(names)),
+            feature_importances=feat_imp,
             feature_names=names,
             method="permutation",
             channel_names=ch_names,
@@ -194,14 +236,14 @@ def channel_importance(
         return out
 
     if method == "permutation_features":
-        from tpumcia.importance.permutation import permutation_importance
-
-        res = permutation_importance(
-            head, np.asarray(X), y, n_repeats=cfg.n_repeats, seed=cfg.seed
+        res = _sweep(
+            head, np.asarray(X), y, n_repeats=cfg.n_repeats, seed=cfg.seed,
+            groups=None, mesh=mesh,
         )
         out = aggregate_channel_importance(
             res.importances_mean, names, C, threshold=None,
             match=cfg.channel_match, method="permutation_features",
+            groups=pos_groups,
         )
         out.channel_names = ch_names
         out.extras["permutation"] = res

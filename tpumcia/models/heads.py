@@ -369,17 +369,20 @@ def fit_head(
     config: HeadConfig | None = None,
     scale: bool = True,
     key: jax.Array | None = None,
+    scaler: MinMaxScaler | None = None,
 ):
     """Scale (MinMax, fit on the given data) and fit the configured head.
 
     ``features`` may be a FeatureMatrix or a raw (N, F) array. Mirrors the
     notebook's scale->fit flow (ipynb:389-406); splitting is the caller's
-    concern (see ``utils.split``).
+    concern (see ``utils.split``). A prefit ``scaler`` (e.g. from
+    ``parallel.sharding.fit_scaler_sharded``) overrides the internal fit.
     """
     cfg = config or HeadConfig()
     X = getattr(features, "values", features)
     X = np.asarray(X, dtype=np.float32)
-    scaler = MinMaxScaler.fit(X) if scale else None
+    if scaler is None and scale:
+        scaler = MinMaxScaler.fit(X)
     if cfg.kind == "logistic":
         return LogisticHead.fit(X, labels, config=cfg, scaler=scaler, key=key)
     if cfg.kind == "mlp":

@@ -50,6 +50,8 @@ def sufficient_stats_sharded(
     chunk_size: int = 32,
     onehot_dtype: str = "bfloat16",
     use_pallas: str = "auto",
+    with_intensity: bool = True,
+    with_glcm: bool = True,
 ) -> SuffStats:
     """Per-(image, channel) sufficient statistics with the batch sharded over
     the mesh's ``data`` axis. Output stats stay sharded the same way.
@@ -78,8 +80,8 @@ def sufficient_stats_sharded(
             levels=levels,
             offset=offset,
             onehot_dtype=jnp.dtype(onehot_dtype),
-            with_intensity=True,
-            with_glcm=True,
+            with_intensity=with_intensity,
+            with_glcm=with_glcm,
         )
 
         def local(img_l, w_l):

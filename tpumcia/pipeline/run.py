@@ -56,14 +56,22 @@ def run_pipeline(
 
     ``groups``: optional per-object group ids (donor/experiment) for grouped
     splitting (h5 contract, BASELINE.json config 4).
+
+    With ``config.mesh`` resolving to more than one device (``data=-1`` uses
+    all of them), the extraction, scaler fit, and permutation sweeps run SPMD
+    over the mesh's ``data`` axis (SURVEY.md §2.4).
     """
+    from tpumcia.parallel.mesh import mesh_from_config
+
     cfg = config or PipelineConfig()
     labels = np.asarray(labels)
     timings: dict[str, float] = {}
+    mesh = mesh_from_config(cfg.mesh)
 
     t0 = time.perf_counter()
     fm = extract_features(
-        images, mask=mask, config=cfg.features, channel_names=channel_names
+        images, mask=mask, config=cfg.features, channel_names=channel_names,
+        mesh=mesh,
     )
     timings["features_s"] = time.perf_counter() - t0
 
@@ -77,11 +85,17 @@ def run_pipeline(
     )
 
     t0 = time.perf_counter()
+    scaler = None
+    if mesh is not None and cfg.normalize == "minmax":
+        from tpumcia.parallel.sharding import fit_scaler_sharded
+
+        scaler = fit_scaler_sharded(X[split.train_idx], mesh=mesh)
     head = fit_head(
         X[split.train_idx],
         labels[split.train_idx],
         config=cfg.head,
         scale=cfg.normalize == "minmax",
+        scaler=scaler,
     )
     timings["fit_s"] = time.perf_counter() - t0
 
@@ -105,18 +119,24 @@ def run_pipeline(
         labels[split.test_idx],
         method="permutation",
         config=cfg.importance,
+        mesh=mesh,
     )
-    feature_res = None
-    try:
-        feature_res = channel_importance(
-            head,
-            fm_test,
-            labels[split.test_idx],
-            method="auto",
-            config=cfg.importance,
-        )
-    except TypeError:
-        pass
+    # per-feature view (notebook cell 28, ipynb:493-505): MDI for forests,
+    # per-feature permutation sweep otherwise (NOT the grouped channel sweep
+    # again — that both duplicated compute and rendered all-zero plots)
+    from tpumcia.models.heads import RandomForestHead
+
+    feature_method = (
+        "mdi" if isinstance(head, RandomForestHead) else "permutation_features"
+    )
+    feature_res = channel_importance(
+        head,
+        fm_test,
+        labels[split.test_idx],
+        method=feature_method,
+        config=cfg.importance,
+        mesh=mesh,
+    )
     timings["importance_s"] = time.perf_counter() - t0
 
     return PipelineResult(

@@ -86,6 +86,7 @@ def stream_extract(
     log = MetricsLogger(out_dir / "progress.jsonl", echo=False)
     shard_ids = list(range(0, n, shard_size))
     computed = skipped = 0
+    computed_imgs = 0  # actual image count (final shard may be partial)
     t0 = time.perf_counter()
     names = None
     for start in shard_ids:
@@ -132,23 +133,20 @@ def stream_extract(
         }
         _save_manifest(out_dir, manifest)
         computed += 1
+        computed_imgs += int(stop - start)
         elapsed_so_far = time.perf_counter() - t0
         log.log(
             "shard_done",
             shard=sid,
             images=int(stop - start),
-            images_per_second=round(computed * shard_size / elapsed_so_far, 1),
+            images_per_second=round(computed_imgs / elapsed_so_far, 1),
             degenerate_channels=int(np.asarray(fm.degenerate).sum()),
         )
     elapsed = time.perf_counter() - t0
     log.close()
 
     fm, labels = load_feature_shards(out_dir, names=names)
-    done_imgs = sum(
-        e["stop"] - e["start"] for e in manifest["shards"].values()
-        if e["status"] == "done"
-    )
-    rate = (computed * shard_size) / elapsed if elapsed > 0 and computed else 0.0
+    rate = computed_imgs / elapsed if elapsed > 0 and computed else 0.0
     return StreamResult(
         features=fm,
         labels=labels,
