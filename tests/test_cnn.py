@@ -42,6 +42,22 @@ def test_cnn_learns(trained_head, tiny_dataset):
     assert trained_head.score(images, labels) > 0.6
 
 
+def test_cnn_trains_with_remainder_and_tiny_datasets(tiny_dataset):
+    """The tail batch must train (padded wrap-around order), including the
+    extreme n < batch_size case that used to train on nothing."""
+    images, labels = tiny_dataset
+    cfg = CNNConfig(num_classes=3, width=8, depth="10", epochs=2, batch_size=64)
+    head = fit_cnn(images, labels, config=cfg)  # n=16 < batch 64
+    assert len(head.history) == 2
+    assert np.isfinite(head.history[-1]["loss"])
+    assert head.history[-1]["loss"] != head.history[0]["loss"]  # stepped
+
+    # remainder case: n=16, batch 12 -> both steps run, all samples seen
+    cfg2 = CNNConfig(num_classes=3, width=8, depth="10", epochs=1, batch_size=12)
+    head2 = fit_cnn(images, labels, config=cfg2)
+    assert np.isfinite(head2.history[0]["loss"])
+
+
 def test_cnn_sharded_training(tiny_dataset):
     from tpumcia.parallel import make_mesh
 

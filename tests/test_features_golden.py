@@ -148,6 +148,27 @@ def test_glcm_matrix_matches_oracle(rng):
             np.testing.assert_array_equal(mats[b, c], ref)
 
 
+def test_glcm_matrix_symmetric_normed(rng):
+    """skimage graycomatrix API parity for the symmetric/normed options."""
+    img = (rng.random((1, 12, 12, 1)) * 256).astype(np.uint8)
+    img[:, 0, 0, :] = 255
+    plane = img[0, :, :, 0] / 255.0
+    scaled = ((plane / plane.max()) * 255.0).astype(np.uint8)
+    for symmetric in (False, True):
+        for normed in (False, True):
+            got = np.asarray(
+                glcm_matrix(
+                    img, levels=256, offset=(0, 3),
+                    symmetric=symmetric, normed=normed,
+                )
+            )[0, 0]
+            want = oracle.graycomatrix(
+                scaled, [3], [0.0], levels=256,
+                symmetric=symmetric, normed=normed,
+            )[:, :, 0, 0]
+            np.testing.assert_allclose(got, want, atol=1e-7)
+
+
 def test_intensity_only_and_glcm_only(small_batch):
     fi = extract_features(
         small_batch, config=FeatureConfig(include_glcm=False, precision="exact", use_pallas="never")

@@ -161,6 +161,41 @@ def test_stream_extract_resume(tmp_path):
     assert fm.shape == (12, 69)
 
 
+def test_stream_extract_h5_directory(h5_objects, tmp_path):
+    """h5-dir -> streaming composition: prefetch-overlapped shards, resume,
+    quantised uint16, labels and masks threaded through (VERDICT r1 next #5)."""
+    from tpumcia.config import FeatureConfig
+    from tpumcia.io.h5 import h5_stream_source
+    from tpumcia.pipeline.streaming import stream_extract_h5
+
+    root, paths = h5_objects
+    cfg = FeatureConfig(use_pallas="never")
+    out = tmp_path / "h5feats"
+    res = stream_extract_h5(root, out, shard_size=4, config=cfg)
+    assert res.shards_computed == 2
+    assert res.features.shape == (6, 69)
+    assert set(res.labels) == {"tcell", "bcell"}
+    assert np.isfinite(np.nan_to_num(res.features.to_numpy())).all()
+
+    # resume is free
+    res2 = stream_extract_h5(root, out, shard_size=4, config=cfg)
+    assert res2.shards_computed == 0 and res2.shards_skipped == 2
+
+    # the adapter's batch matches load_objects + quantize (same packing)
+    src = h5_stream_source(root)
+    images, masks, labels = src.fetch(np.arange(6))
+    batch = load_objects(root)
+    from tpumcia.preprocess.normalize import quantize_to_levels
+
+    expect = np.asarray(
+        quantize_to_levels(batch.images, levels=256, src_levels=65536)
+    )
+    np.testing.assert_array_equal(images, expect)
+    np.testing.assert_array_equal(masks, batch.masks)
+    np.testing.assert_array_equal(labels, batch.labels)
+    assert src.channels == ["BF", "GFP", "DAPI"]
+
+
 def test_stream_config_tag_guard(tmp_path):
     images, labels, _ = synthetic_multichannel(2, num_classes=2, seed=0)
 

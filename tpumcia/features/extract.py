@@ -18,7 +18,7 @@ import numpy as np
 from tpumcia.config import FeatureConfig
 from tpumcia.features import registry
 from tpumcia.features.finalize import finalize_features
-from tpumcia.features.stats import sufficient_stats
+from tpumcia.features.stats import sufficient_stats, sufficient_stats_multi
 
 
 @dataclass
@@ -152,13 +152,12 @@ def extract_features(
     if backend == "hybrid" and images.shape[1] * images.shape[2] >= 65536:
         backend = "host"  # hybrid's exact-integer bounds need < 2^16 pixels
 
-    # one stats pass per GLCM (distance, angle) offset; intensity only once
     offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
     value_blocks = []
     degenerate = None
-    for i, offset in enumerate(offsets):
-        with_int = cfg.include_intensity and i == 0
-        stats = run_stats(offset, with_int, cfg.include_glcm)
+
+    def add_block(stats, with_int):
+        nonlocal degenerate
         done = finalize_features(
             stats,
             include_intensity=with_int,
@@ -171,8 +170,25 @@ def extract_features(
             if degenerate is None
             else degenerate | np.asarray(done.degenerate)
         )
-        if not cfg.include_glcm:
-            break
+
+    if len(offsets) > 1 and cfg.include_glcm and not use_pallas and mesh is None:
+        # fused multi-offset pass: the raw one-hot / histogram / rescale work
+        # is shared across all offsets (skimage list API, ipynb:298)
+        all_stats = sufficient_stats_multi(
+            images, mask, levels=cfg.glcm.levels,
+            offsets=tuple(offsets), chunk_size=cfg.chunk_size,
+            onehot_dtype=cfg.onehot_dtype,
+            with_intensity=cfg.include_intensity,
+        )
+        for i, stats in enumerate(all_stats):
+            add_block(stats, cfg.include_intensity and i == 0)
+    else:
+        # one stats pass per offset (Pallas / sharded paths); intensity once
+        for i, offset in enumerate(offsets):
+            with_int = cfg.include_intensity and i == 0
+            add_block(run_stats(offset, with_int, cfg.include_glcm), with_int)
+            if not cfg.include_glcm:
+                break
 
     num_channels = images.shape[-1]
     names = registry.feature_names(

@@ -165,7 +165,22 @@ def _single_image_stats(
     resc = jnp.einsum("cpl,cl->cp", oh_raw, row, preferred_element_type=f32)
     resc = resc.astype(jnp.int32).reshape(C, H, W)
 
-    # --- co-occurring pairs at the (static) offset
+    marg_l, marg_r, diff_hist, glcm_sumsq, pair_count = _glcm_offset_stats(
+        resc, weight, offset, L, onehot_dtype
+    )
+    return SuffStats(
+        hist, count, vmax, marg_l, marg_r, diff_hist, glcm_sumsq, pair_count
+    )
+
+
+def _glcm_offset_stats(resc, weight, offset, L, onehot_dtype):
+    """GLCM sufficient stats for one (dr, dc) offset on pre-rescaled levels.
+
+    Shared by the single-offset path and the fused multi-offset path (the
+    rescale/one-hot prologue is offset-independent and computed once).
+    """
+    f32 = jnp.float32
+    C, H, W = resc.shape
     dr, dc = offset
     r0, r1 = max(0, -dr), H - max(0, dr)
     c0, c1 = max(0, -dc), W - max(0, dc)
@@ -191,9 +206,105 @@ def _single_image_stats(
     glcm = jnp.einsum("cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32)
     glcm_sumsq = _glcm_sumsq_limbs(glcm.astype(jnp.int32), reduce_axes=(1, 2))
     pair_count = jnp.sum(pw.astype(f32), axis=1)
+    return marg_l, marg_r, diff_hist, glcm_sumsq, pair_count
 
-    return SuffStats(
-        hist, count, vmax, marg_l, marg_r, diff_hist, glcm_sumsq, pair_count
+
+def _single_image_stats_multi(
+    img: jax.Array,  # (C, H, W) int32 raw levels
+    weight: jax.Array,  # (C, H, W) {0,1} mask weights
+    lut: jax.Array,
+    *,
+    levels: int,
+    offsets: tuple[tuple[int, int], ...],
+    onehot_dtype,
+    with_intensity: bool,
+) -> tuple[SuffStats, ...]:
+    """Multi-offset sufficient statistics with the offset-independent work
+    (raw one-hot, histogram, the reference rescale) computed ONCE and shared
+    across all (distance, angle) offsets — a 4-offset extraction costs ~2x a
+    single-offset one instead of 4x (skimage's list API, ipynb:298).
+
+    Returns one SuffStats per offset; only the first carries the intensity
+    histogram (the rest have zero hists, matching extract_features' layout).
+    """
+    C, H, W = img.shape
+    L = levels
+    f32 = jnp.float32
+
+    flat = img.reshape(C, H * W)
+    wflat = weight.reshape(C, H * W).astype(onehot_dtype)
+    oh_raw = _one_hot(flat, L, onehot_dtype)
+    if with_intensity:
+        hist = jnp.einsum("cpl,cp->cl", oh_raw, wflat, preferred_element_type=f32)
+    else:
+        hist = jnp.zeros((C, L), f32)
+    count = jnp.sum(wflat.astype(f32), axis=1)
+    vmax = jnp.max(jnp.where(weight > 0, img, -1), axis=(1, 2)).astype(jnp.int32)
+
+    row = jnp.einsum(
+        "cl,lk->ck",
+        _one_hot(jnp.clip(vmax, 0, L - 1)[:, None], L, onehot_dtype)[:, 0, :],
+        lut.astype(f32),
+        preferred_element_type=f32,
+    )
+    resc = jnp.einsum("cpl,cl->cp", oh_raw, row, preferred_element_type=f32)
+    resc = resc.astype(jnp.int32).reshape(C, H, W)
+
+    out = []
+    zero_hist = jnp.zeros((C, L), f32)
+    for i, off in enumerate(offsets):
+        parts = _glcm_offset_stats(resc, weight, off, L, onehot_dtype)
+        out.append(
+            SuffStats(hist if i == 0 else zero_hist, count, vmax, *parts)
+        )
+    return tuple(out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "offsets", "chunk_size", "onehot_dtype", "with_intensity"
+    ),
+)
+def _sufficient_stats_multi_jit(
+    img, w, lut, *, levels, offsets, chunk_size, onehot_dtype, with_intensity
+):
+    fn = functools.partial(
+        _single_image_stats_multi,
+        lut=lut,
+        levels=levels,
+        offsets=offsets,
+        onehot_dtype=jnp.dtype(onehot_dtype),
+        with_intensity=with_intensity,
+    )
+    batch = img.shape[0]
+    bs = min(chunk_size, batch) if chunk_size else batch
+    return jax.lax.map(lambda xw: fn(xw[0], xw[1]), (img, w), batch_size=bs)
+
+
+def sufficient_stats_multi(
+    images,
+    mask=None,
+    *,
+    levels: int = 256,
+    offsets: tuple[tuple[int, int], ...] = ((0, 5),),
+    chunk_size: int = 32,
+    onehot_dtype: str = "bfloat16",
+    with_intensity: bool = True,
+) -> tuple[SuffStats, ...]:
+    """One fused device pass producing per-offset :class:`SuffStats` (the
+    multi-offset sibling of :func:`sufficient_stats`)."""
+    img, w = _prep_inputs(images, mask)
+    lut = jnp.asarray(rescale_lut(levels))
+    return _sufficient_stats_multi_jit(
+        img,
+        w,
+        lut,
+        levels=levels,
+        offsets=tuple(tuple(o) for o in offsets),
+        chunk_size=chunk_size,
+        onehot_dtype=onehot_dtype,
+        with_intensity=with_intensity,
     )
 
 
@@ -288,12 +399,23 @@ def sufficient_stats(
     )
 
 
-def glcm_matrix(images, mask=None, *, levels: int = 256, offset=(0, 5)) -> jax.Array:
-    """(B, C, L, L) raw co-occurrence count matrices (float32, exact counts).
+def glcm_matrix(
+    images,
+    mask=None,
+    *,
+    levels: int = 256,
+    offset=(0, 5),
+    symmetric: bool = False,
+    normed: bool = False,
+) -> jax.Array:
+    """(B, C, L, L) co-occurrence matrices (float32, exact counts).
 
-    API parity with ``skimage.feature.graycomatrix`` for users who want the
-    matrix itself; the feature path never materialises it in HBM.
-    Applies the reference's per-channel max rescale first (ipynb:293-298).
+    API parity with ``skimage.feature.graycomatrix`` — including its
+    ``symmetric`` (add the transpose) and ``normed`` (divide each matrix by
+    its sum) options — for users who want the matrix itself; the feature
+    path never materialises it in HBM. Applies the reference's per-channel
+    max rescale first (ipynb:293-298; the reference uses the defaults
+    ``symmetric=False, normed=False``).
     """
     img, w = _prep_inputs(images, mask)
     lut = jnp.asarray(rescale_lut(levels))
@@ -321,7 +443,13 @@ def glcm_matrix(images, mask=None, *, levels: int = 256, offset=(0, 5)) -> jax.A
             ).reshape(C, -1)
             oh_l = _one_hot(left, levels, f32) * pw[..., None]
             oh_r = _one_hot(right, levels, f32)
-            return jnp.einsum("cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32)
+            g = jnp.einsum("cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32)
+            if symmetric:
+                g = g + jnp.swapaxes(g, -1, -2)
+            if normed:
+                s = jnp.sum(g, axis=(-1, -2), keepdims=True)
+                g = g / jnp.where(s == 0, 1.0, s)
+            return g
 
         return jax.lax.map(lambda xw: one(xw[0], xw[1]), (img, w), batch_size=8)
 

@@ -119,6 +119,109 @@ def list_object_files(root: str | Path) -> list[Path]:
     return files
 
 
+@dataclass
+class H5StreamSource:
+    """Indexable fetch over a directory of per-object h5 files — the adapter
+    that composes the README contract (README.md:5-14) with
+    ``pipeline.streaming.stream_extract`` so "millions of objects" never
+    need to fit in RAM.
+
+    ``fetch(idx)`` decodes just the requested objects (threaded native
+    packing via ``io.native``), returning the ``(images, mask, labels)``
+    tuple ``stream_extract`` expects. uint16 images are level-quantised on
+    host with the native kernel (identical floor semantics to
+    ``preprocess.quantize_to_levels``) when ``quantize_levels`` is set.
+    """
+
+    paths: list[Path]
+    target_hw: tuple[int, int]
+    quantize_levels: int | None = None
+    decode_threads: int = 4
+    channels: list[str] | None = None
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def fetch(self, idx: np.ndarray):
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = [self.paths[int(i)] for i in np.asarray(idx)]
+        if self.decode_threads > 1 and len(paths) > 1:
+            with ThreadPoolExecutor(self.decode_threads) as ex:
+                objs = list(ex.map(read_object, paths))
+        else:
+            objs = [read_object(p) for p in paths]
+
+        from tpumcia.io.native import pack_objects, quantize_u16
+
+        images = pack_objects(
+            [np.ascontiguousarray(o["image"]) for o in objs], self.target_hw
+        )
+        if self.quantize_levels and images.dtype == np.uint16:
+            images = quantize_u16(images, levels=self.quantize_levels)
+
+        masks = None
+        if all(o["mask"] is not None for o in objs):
+            masks = pack_objects(
+                [np.ascontiguousarray(o["mask"]).astype(np.uint8) for o in objs],
+                self.target_hw,
+            )
+        labels = None
+        if all(o["label"] is not None for o in objs):
+            labels = np.array([o["label"] for o in objs])
+        return images, masks, labels
+
+    __call__ = fetch
+
+
+def h5_stream_source(
+    source,
+    *,
+    target_hw: tuple[int, int] | None = None,
+    quantize_levels: int | None = 256,
+    limit: int | None = None,
+    decode_threads: int = 4,
+) -> H5StreamSource:
+    """Build a streaming fetch over per-object h5 files.
+
+    With ``target_hw=None`` the shapes of all files are scanned first
+    (header-only reads) to find the max H/W; pass it explicitly to skip the
+    scan on very large collections. ``quantize_levels`` (default 256)
+    level-quantises uint16 images for the exact feature path; None keeps the
+    raw dtype.
+    """
+    import h5py
+
+    if isinstance(source, (str, Path)):
+        paths = list_object_files(source)
+    else:
+        paths = [Path(p) for p in source]
+    if limit is not None:
+        paths = paths[:limit]
+
+    channels = None
+    if target_hw is None:
+        h = w = 0
+        for p in paths:
+            with h5py.File(p, "r") as f:
+                sh = f["image"].shape
+                h, w = max(h, sh[0]), max(w, sh[1])
+        target_hw = (h, w)
+    with h5py.File(paths[0], "r") as f:
+        if "channels" in f:
+            raw = f["channels"][()]
+            channels = [
+                c.decode() if isinstance(c, bytes) else str(c) for c in raw
+            ]
+    return H5StreamSource(
+        paths=paths,
+        target_hw=target_hw,
+        quantize_levels=quantize_levels,
+        decode_threads=decode_threads,
+        channels=channels,
+    )
+
+
 def load_objects(
     source,
     *,

@@ -29,17 +29,26 @@ class PrefetchLoader:
     def __init__(
         self,
         fetch: Callable[[np.ndarray], object],
-        n: int,
-        batch_size: int,
+        n: int | None = None,
+        batch_size: int | None = None,
         *,
         depth: int = 2,
         drop_remainder: bool = False,
+        chunks: list[np.ndarray] | None = None,
     ):
+        if chunks is None:
+            if n is None or batch_size is None:
+                raise ValueError("give either chunks or (n, batch_size)")
+            chunks = list(
+                batched_indices(n, batch_size, drop_remainder=drop_remainder)
+            )
         self._fetch = fetch
-        self._chunks = list(
-            batched_indices(n, batch_size, drop_remainder=drop_remainder)
-        )
+        self._chunks = list(chunks)
         self._depth = depth
+
+    @property
+    def chunks(self) -> list[np.ndarray]:
+        return self._chunks
 
     def __len__(self):
         return len(self._chunks)

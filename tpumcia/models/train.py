@@ -159,35 +159,50 @@ def fit_cnn(
     opt_state = tx.init(params)
     step = make_train_step(model, tx)
 
+    num_classes = cfg.num_classes
+    data_shard = NamedSharding(mesh, P("data")) if mesh is not None else None
+
+    # Epoch data is staged on device ONCE; each step gathers its batch on
+    # device (no per-step host slicing / H2D copies). The epoch order is
+    # padded with wrap-around samples to a multiple of batch_size so every
+    # sample trains each epoch at a fixed batch shape (one compiled step) —
+    # the tail batch is no longer dropped.
+    def gather_step(params, opt_state, images_all, y_all, idx):
+        xb = jnp.take(images_all, idx, axis=0)
+        yb = jnp.take(y_all, idx, axis=0)
+        if data_shard is not None:
+            xb = jax.lax.with_sharding_constraint(xb, data_shard)
+            yb = jax.lax.with_sharding_constraint(yb, data_shard)
+        return step(params, opt_state, xb, yb)
+
     if mesh is not None:
         p_shard = _param_sharding(params, mesh)
-        data_shard = NamedSharding(mesh, P("data"))
-        # Constrain only the data inputs; params/opt-state shardings are
-        # seeded by the device_put below and then propagated by jit (the
-        # optimizer state and biases follow the kernel shardings XLA infers).
-        step = jax.jit(
-            step,
-            in_shardings=(None, None, data_shard, data_shard),
-        )
+        # params/opt-state shardings are seeded by the device_put below and
+        # then propagated by jit; epoch data stays replicated, each gathered
+        # batch is constrained onto the data axis.
+        gather_step = jax.jit(gather_step)
         params = jax.device_put(params, p_shard)
     else:
-        step = jax.jit(step)
+        gather_step = jax.jit(gather_step)
 
     n = len(images)
-    steps_per_epoch = max(1, n // cfg.batch_size)
+    bs = min(cfg.batch_size, n)
+    steps_per_epoch = -(-n // bs)
     rng_np = np.random.default_rng(cfg.seed)
-    num_classes = cfg.num_classes
+    images_all = jnp.asarray(images, jnp.float32)
+    y_all = jax.nn.one_hot(jnp.asarray(y_idx), num_classes)
     history = []
     for epoch in range(cfg.epochs):
         order = rng_np.permutation(n)
+        pad = steps_per_epoch * bs - n
+        if pad:
+            order = np.concatenate([order, order[:pad]])
         losses = []
         for s in range(steps_per_epoch):
-            idx = order[s * cfg.batch_size : (s + 1) * cfg.batch_size]
-            if len(idx) < cfg.batch_size:
-                continue
-            xb = jnp.asarray(images[idx])
-            yb = jax.nn.one_hot(jnp.asarray(y_idx[idx]), num_classes)
-            params, opt_state, loss = step(params, opt_state, xb, yb)
+            idx = jnp.asarray(order[s * bs : (s + 1) * bs])
+            params, opt_state, loss = gather_step(
+                params, opt_state, images_all, y_all, idx
+            )
             losses.append(float(loss))
         entry = {"epoch": epoch, "loss": float(np.mean(losses))}
         if images_eval is not None:

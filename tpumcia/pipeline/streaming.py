@@ -61,13 +61,16 @@ def stream_extract(
     config: FeatureConfig | None = None,
     config_tag: str | None = None,
     mesh=None,
+    prefetch_depth: int = 2,
 ) -> StreamResult:
     """Extract features over ``n`` objects in resumable shards.
 
     ``fetch(idx)`` returns ``(images, mask_or_None, labels_or_None)`` for the
-    given index array — typically decoding from disk on host while the TPU
-    reduces the previous shard. With ``mesh``, each shard is computed SPMD
-    over the mesh's ``data`` axis (BASELINE.json config 5).
+    given index array. Fetches run on a background thread with
+    ``prefetch_depth`` shards prepared ahead (``io.loader.PrefetchLoader``),
+    so host decode of shard i+1 overlaps the device reduction of shard i;
+    ``prefetch_depth=0`` fetches synchronously. With ``mesh``, each shard is
+    computed SPMD over the mesh's ``data`` axis (BASELINE.json config 5).
     """
     cfg = config or FeatureConfig()
     out_dir = Path(out_dir)
@@ -84,21 +87,40 @@ def stream_extract(
     from tpumcia.utils.logging import MetricsLogger
 
     log = MetricsLogger(out_dir / "progress.jsonl", echo=False)
-    shard_ids = list(range(0, n, shard_size))
-    computed = skipped = 0
-    computed_imgs = 0  # actual image count (final shard may be partial)
-    t0 = time.perf_counter()
-    names = None
-    for start in shard_ids:
+    # resolve pending shards up front so prefetch only decodes what runs
+    pending: list[tuple[int, int]] = []
+    skipped = 0
+    for start in range(0, n, shard_size):
         sid = f"shard_{start:09d}"
         stop = min(start + shard_size, n)
         entry = manifest["shards"].get(sid)
-        shard_file = out_dir / f"{sid}.npz"
-        if entry and entry.get("status") == "done" and shard_file.exists():
+        if (
+            entry
+            and entry.get("status") == "done"
+            and (out_dir / f"{sid}.npz").exists()
+        ):
             skipped += 1
-            continue
+        else:
+            pending.append((start, stop))
+
+    if prefetch_depth > 0 and len(pending) > 1:
+        from tpumcia.io.loader import PrefetchLoader
+
+        chunks = [np.arange(s, e) for s, e in pending]
+        batches = iter(
+            PrefetchLoader(fetch, chunks=chunks, depth=prefetch_depth)
+        )
+    else:
+        batches = (fetch(np.arange(s, e)) for s, e in pending)
+
+    computed = 0
+    computed_imgs = 0  # actual image count (final shard may be partial)
+    t0 = time.perf_counter()
+    names = None
+    for (start, stop), (images, mask, labels) in zip(pending, batches):
+        sid = f"shard_{start:09d}"
+        shard_file = out_dir / f"{sid}.npz"
         idx = np.arange(start, stop)
-        images, mask, labels = fetch(idx)
         if mesh is not None:
             from tpumcia.parallel.sharding import extract_features_sharded
 
@@ -153,6 +175,43 @@ def stream_extract(
         shards_computed=computed,
         shards_skipped=skipped,
         images_per_second=rate,
+    )
+
+
+def stream_extract_h5(
+    source,
+    out_dir: str | Path,
+    *,
+    shard_size: int = 1024,
+    config: FeatureConfig | None = None,
+    config_tag: str | None = None,
+    mesh=None,
+    prefetch_depth: int = 2,
+    target_hw: tuple[int, int] | None = None,
+    limit: int | None = None,
+) -> StreamResult:
+    """Resumable streaming extraction straight from a directory of
+    per-object h5 files (README contract, README.md:5-14): the h5 adapter
+    decodes/packs/quantises shards on a background thread while the device
+    reduces the previous shard."""
+    from tpumcia.io.h5 import h5_stream_source
+
+    cfg = config or FeatureConfig()
+    src = h5_stream_source(
+        source,
+        target_hw=target_hw,
+        quantize_levels=cfg.glcm.levels,
+        limit=limit,
+    )
+    return stream_extract(
+        src.fetch,
+        len(src),
+        out_dir,
+        shard_size=shard_size,
+        config=cfg,
+        config_tag=config_tag,
+        mesh=mesh,
+        prefetch_depth=prefetch_depth,
     )
 
 
