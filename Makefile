@@ -1,8 +1,12 @@
 # Common targets (see CLAUDE.md for environment notes)
-.PHONY: test test-tpu bench examples native clean
+.PHONY: test test-fast test-tpu bench examples native clean
 
 test:
 	python -m pytest tests/ -q
+
+# quick feedback loop: skips the compile/train-heavy tests (marked `slow`)
+test-fast:
+	python -m pytest tests/ -q -m "not slow"
 
 test-tpu:
 	TPUMCIA_TEST_BACKEND=native python -m pytest tests/ -m tpu -q

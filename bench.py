@@ -32,9 +32,8 @@ def main() -> None:
     import jax
     import numpy as np
 
-    from tpumcia.config import HeadConfig, ImportanceConfig
+    from tpumcia.config import HeadConfig
     from tpumcia.features import registry
-    from tpumcia.importance.channels import channel_importance
     from tpumcia.io.synthetic import synthetic_mednist
     from tpumcia.models.heads import fit_head
     from tpumcia.preprocess.synth import add_noise_channels
@@ -61,36 +60,64 @@ def main() -> None:
         assemble_reduced,
         unpack_reduced,
     )
-    from tpumcia.features.pallas_glcm import _pallas_stats_jit
-    from tpumcia.features.stats import _prep_inputs, rescale_lut
+    from tpumcia.features.pallas_glcm import _pallas_stats_core
+    from tpumcia.features.stats import rescale_lut
     from tpumcia.features.stats import _sufficient_stats_jit
 
     lut = jnp.asarray(rescale_lut(256))
 
+    from tpumcia.features.finalize import _finalize
+
     def _one_batch(args):
-        """synth -> stats kernel -> hybrid scalar reduction, fully on device."""
+        """synth -> stats kernel -> hybrid scalar reduction, fully on device.
+
+        Returns the packed exact scalars (fetched to host for the f64
+        feature-matrix artifact) AND a device-resident f32 feature block
+        that never leaves the device — the head fit and importance sweeps
+        ride it, so the feature matrix is not re-uploaded through the link.
+        """
         g, k = args
         imgs = add_noise_channels(g, k)
-        img, w = _prep_inputs(imgs, None)
+        img = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.int32)
         if on_tpu:
-            st = _pallas_stats_jit(img, w, lut, levels=256, offset=(0, 5))
+            st = _pallas_stats_core(
+                img, None, lut, levels=256, offset=(0, 5), has_mask=False,
+                interpret=False,
+            )
         else:
+            w = jnp.ones(img.shape, jnp.float32)
             st = _sufficient_stats_jit(
                 img, w, lut, levels=256, offset=(0, 5), chunk_size=32,
                 onehot_dtype="bfloat16", with_intensity=True, with_glcm=True,
             )
-        return _device_reduce_packed(st)
+        feats_dev = jnp.nan_to_num(
+            _finalize(st, jnp, jnp.float32, True, True).values
+        )
+        return _device_reduce_packed(st), feats_dev
 
     _one_batch_jit = jax.jit(_one_batch)  # one dispatch per batch
 
     def features_for(gray_batches):
+        from concurrent.futures import ThreadPoolExecutor
+
         keys = jax.random.split(key, len(gray_batches))
-        packed = [_one_batch_jit((g, k)) for g, k in zip(gray_batches, keys)]
-        # one fetch per batch: batch i's D2H overlaps batch i+1's compute
-        flat = unpack_reduced(
-            np.concatenate([np.asarray(p) for p in packed])
-        )
-        return np.asarray(assemble_reduced(flat).values)
+        outs = [_one_batch_jit((g, k)) for g, k in zip(gray_batches, keys)]
+        X_dev = jnp.concatenate([f for _, f in outs])  # stays on device
+        # one fetch per batch, assembled per batch on a worker thread: the
+        # host f64 assembly of batch i runs while the D2H of batch i+1 is on
+        # the wire (numpy releases the GIL for both)
+        with ThreadPoolExecutor(1) as ex:
+            futs = [
+                ex.submit(
+                    lambda h: np.asarray(
+                        assemble_reduced(unpack_reduced(h)).values
+                    ),
+                    np.asarray(p),
+                )
+                for p, _ in outs
+            ]
+            X_host = np.concatenate([f.result() for f in futs])
+        return X_host, X_dev
 
     # pad to a whole number of fixed-size batches (extraction of the padding
     # rows is real work; the padded rows are dropped before the head)
@@ -101,34 +128,43 @@ def main() -> None:
 
     names = registry.feature_names(3)
 
+    from tpumcia.models.heads import LogisticHead
+    from tpumcia.models.scaler import MinMaxScaler
+
     def full_pipeline():
-        X = np.nan_to_num(features_for(batches).astype(np.float32))[: len(gray)]
+        X_host, X_dev = features_for(batches)
+        X = np.nan_to_num(X_host.astype(np.float32))[: len(gray)]
         split = train_test_split_indices(
             len(X), test_size=0.25, seed=0, stratify=labels
         )
-        head = fit_head(
-            X[split.train_idx],
-            labels[split.train_idx],
-            config=HeadConfig(kind="logistic", num_steps=300),
+        # head + sweeps ride the device-resident f32 features (the exact
+        # host X above is the returned artifact) — no re-upload of the
+        # feature matrix through the link
+        X_tr = jnp.take(X_dev, jnp.asarray(split.train_idx), axis=0)
+        X_te = jnp.take(X_dev, jnp.asarray(split.test_idx), axis=0)
+        scaler = MinMaxScaler.fit(X_tr)
+        head = LogisticHead.fit(
+            X_tr, labels[split.train_idx],
+            config=HeadConfig(kind="logistic", num_steps=300), scaler=scaler,
         )
-        fm_test = FeatureMatrix(
-            values=X[split.test_idx], names=names, num_channels=3
+        # both sweeps (channel-grouped, ipynb-style per-feature) in ONE
+        # device dispatch: each dispatch costs a full round trip through the
+        # remote device link, so the mask sets are concatenated
+        from tpumcia.importance.permutation import permutation_importance
+
+        groups = registry.columns_by_channel_positional(3)
+        F = len(names)
+        all_masks = groups + [[j] for j in range(F)]
+        sweep = permutation_importance(
+            head, X_te, labels[split.test_idx],
+            n_repeats=10, seed=42, groups=all_masks,
         )
-        res = channel_importance(
-            head,
-            fm_test,
-            labels[split.test_idx],
-            method="permutation",
-            config=ImportanceConfig(n_repeats=10, seed=42),
+        chan_mean = sweep.importances_mean[: len(groups)]
+        feat_mean = sweep.importances_mean[len(groups):]
+        feat_chan_total = np.array(
+            [feat_mean[cols].sum() for cols in groups]
         )
-        feat_res = channel_importance(
-            head,
-            fm_test,
-            labels[split.test_idx],
-            method="permutation_features",
-            config=ImportanceConfig(n_repeats=10, seed=42),
-        )
-        return X, split, head, res, feat_res
+        return X, split, head, chan_mean, feat_chan_total
 
     full_pipeline()  # warm-up: compiles every stage at the real shapes
 
@@ -137,12 +173,14 @@ def main() -> None:
     elapsed = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        X, split, head, res, feat_res = full_pipeline()
+        X, split, head, chan_mean, feat_chan_total = full_pipeline()
         elapsed = min(elapsed, time.perf_counter() - t0)
 
     test_acc = head.score(X[split.test_idx], labels[split.test_idx])
     rate = len(gray) / elapsed
-    ok_ranking = bool(res.top_channel() == 0 and feat_res.top_channel() == 0)
+    ok_ranking = bool(
+        int(np.argmax(chan_mean)) == 0 and int(np.argmax(feat_chan_total)) == 0
+    )
 
     print(
         json.dumps(
@@ -157,6 +195,17 @@ def main() -> None:
                     "elapsed_s": round(elapsed, 3),
                     "test_accuracy": round(test_acc, 4),
                     "signal_channel_ranked_first": ok_ranking,
+                    # comparison note: the reference's 53.46 img/s includes
+                    # per-image PNG decode from disk; here the grayscale
+                    # batch is pre-staged on device (data generation and H2D
+                    # are untimed) while noise synthesis, feature
+                    # extraction, D2H of the feature matrix, head fit, and
+                    # both importance sweeps are timed.
+                    "timed_scope": (
+                        "synth+features+fetch+head+importance; excludes "
+                        "data-gen and H2D staging (reference includes disk "
+                        "decode)"
+                    ),
                 },
             }
         )

@@ -10,6 +10,8 @@ from tpumcia.io.synthetic import synthetic_multichannel
 from tpumcia.models.cnn import make_resnet
 from tpumcia.models.train import CNNConfig, CNNHead, fit_cnn
 
+pytestmark = pytest.mark.slow  # heavy: compile/train-bound (use `make test-fast` to skip)
+
 
 @pytest.fixture(scope="module")
 def tiny_dataset():

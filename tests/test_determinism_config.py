@@ -3,6 +3,7 @@ and config round-trips."""
 
 import jax
 import numpy as np
+import pytest
 
 from tpumcia.config import (
     FeatureConfig,
@@ -41,6 +42,7 @@ def test_feature_extraction_deterministic(small_batch):
     np.testing.assert_array_equal(np.asarray(a.values), np.asarray(b.values))
 
 
+@pytest.mark.slow
 def test_pipeline_deterministic():
     from tpumcia.config import ImportanceConfig
     from tpumcia.io.synthetic import synthetic_multichannel

@@ -7,6 +7,8 @@ import pytest
 
 from tpumcia import eval as eval_cli
 
+pytestmark = pytest.mark.slow  # heavy: compile/train-bound (use `make test-fast` to skip)
+
 
 def test_cli_synthetic_with_outputs(tmp_path, capsys):
     metrics = tmp_path / "m.jsonl"

@@ -212,6 +212,7 @@ def test_stream_config_tag_guard(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_run_pipeline_smoke():
     from tpumcia.config import FeatureConfig, HeadConfig, ImportanceConfig, PipelineConfig
     from tpumcia.pipeline.run import run_pipeline

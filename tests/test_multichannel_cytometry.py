@@ -53,6 +53,7 @@ def cytometry_dir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_twelve_channel_pipeline_with_donor_split(cytometry_dir):
     from tpumcia.api import analyze_objects
 

@@ -58,6 +58,7 @@ def test_quantize_agrees_with_device_quantizer(lib, rng):
     np.testing.assert_array_equal(host, dev.astype(np.uint8))
 
 
+@pytest.mark.slow
 def test_pack_large_parallel(lib, rng):
     arrays = [
         (rng.random((rng.integers(10, 80), rng.integers(10, 80), 1)) * 255).astype(

@@ -1,25 +1,51 @@
 """Fused Pallas TPU kernel for the per-(image, channel) sufficient statistics.
 
-Grid = (image, channel, pixel-chunk). Each step reduces one chunk of pixels /
-pixel-pairs into revisited per-(image, channel) output blocks: raw-level
-histogram, GLCM marginals, level-difference histogram, and a VMEM-resident
-256x256 co-occurrence accumulator whose sum of squares (for ASM/energy) is
-emitted on the last chunk. No intermediate (one-hots, co-occurrence matrix)
-ever touches HBM.
+Grid = (image,); channels and pixel-chunks are unrolled in-kernel. Each grid
+step reduces one image's pixels/pixel-pairs into per-(image, channel) output
+blocks: raw-level histogram, GLCM marginals, level-difference histogram, and
+a VMEM-resident LxL co-occurrence accumulator whose exact sum of squares
+(for ASM/energy) is emitted as int32 limbs. No intermediate (one-hots,
+co-occurrence matrix) ever touches HBM.
 
 This replaces the reference's Cython ``_glcm_loop`` scatter (ipynb:298) with
 an MXU-native formulation: scatter-free one-hot contractions
 (``G = onehot(left)^T @ onehot(right)``), per the SURVEY.md §2.2 plan.
 
+v2 kernel — the r1 kernel's cost was NOT the math: profiling showed its XLA
+prologue (an interleaved 5-stream pack) cost ~31 of the 34 us/image. The
+restructure:
+
+* **No packing.** The kernel reads the image as a free reshape
+  ``(B, C, K, CHUNK)`` of the level array plus ONE contiguous flat-shifted
+  copy (the co-occurring neighbour at ``s = dr*W + dc``); pair validity
+  (offset window + padding) is reconstructed in-kernel from lane iotas, so
+  the left stream IS the raw stream and no interleaved copy exists at all.
+  Without a mask the two mask streams vanish entirely (``has_mask`` is a
+  static specialisation).
+* **Factorized histograms.** A 256-bin histogram is a 16x16 outer product:
+  ``hist[h*16+l] = sum_p [raw_p>>4 == h][raw_p&15 == l]`` — two (16, CH)
+  compares and ONE int8 matmul instead of a (256, CH) one-hot, 16x less VPU
+  work. The 511-bin difference histogram factorizes the same way (32x16).
+* **Boundary one-hots for the rescale.** The reference's rescale LUT row
+  (ipynb:293-295) is monotone in the raw level, so the one-hot of the
+  *rescaled* value is built directly from raw levels with two compares
+  against per-level ``[start_i, end_i)`` boundaries (``start_i = #{v:
+  row[v] < i}``, computed in-kernel once per channel from the row) —
+  eliminating the raw left/right one-hots and their LUT matvecs. The
+  rescaled values themselves (for the difference histogram) are recovered
+  with an iota matvec over the already-built one-hot.
+* **Grid over images only**, channels unrolled in-kernel, amortising
+  per-grid-step overhead over C channels.
+
 Layout design (the part that matters on TPU): every HBM operand keeps its
-pixel axis on *lanes* — inputs are (B, C, K, CHUNK) chunk rows and outputs are
-(B, C, 1, L) rows, so nothing acquires a size-1 minor dimension (XLA pads
-those 128x in HBM). In-kernel, one-hots are built *transposed* — levels on
-sublanes, pixels on lanes, via a broadcasted sublane iota — and every
-reduction is an ``A @ B^T`` contraction over the lane axis, which lands
-row-oriented for direct output stores. Zero reshapes/transposes/dynamic
-slices; the reference's rescale-LUT row (a function of the channel max) is
-pre-gathered per (image, channel) by the surrounding XLA prologue.
+pixel axis on *lanes* — inputs are (B, C, K, CHUNK) chunk rows, outputs are
+(B, C, 1, L) rows or (B, C, HI, 16) factor grids, so nothing acquires a
+size-1 minor dimension (XLA pads those 128x in HBM). In-kernel, one-hots are
+built *transposed* — levels on sublanes, pixels on lanes, via broadcasted
+sublane iotas — and every reduction is an ``A @ B^T`` contraction over the
+lane axis, which lands row-oriented for direct output stores. Zero reshapes/
+transposes/dynamic slices in-kernel; factor grids are reshaped to flat
+histograms by the surrounding XLA epilogue.
 
 Contract identical to ``stats.sufficient_stats`` (same :class:`SuffStats`);
 golden tests assert equality against both the XLA path and the CPU oracle.
@@ -37,158 +63,204 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpumcia.features.stats import SuffStats, rescale_lut, _prep_inputs
 
-_CHUNK = 2048  # pixels/pairs per grid step (lane-major), ~8 MB peak VMEM
-# int8 one-hot matmuls (s8 x s8 -> s32) run ~20% faster than bf16 on the v5e
-# MXU and stay exact (operands are 0/1, accumulators are integer counts).
+_CHUNK = 4096  # pixels/pairs per chunk (lane-major)
+# int8 one-hot matmuls (s8 x s8 -> s32) run faster than bf16 on the v5e MXU
+# and stay exact (operands are 0/1, accumulators are integer counts).
 # Set TPUMCIA_KERNEL_INT8=0 to fall back to bf16.
 _USE_INT8 = os.environ.get("TPUMCIA_KERNEL_INT8", "1") == "1"
 
 
-def _rowdot(a, b):
-    """(1, N) x (M, N) -> (1, M): contraction over the lane axis (A @ B^T)."""
-    acc = jnp.int32 if _USE_INT8 else jnp.float32
+def _lanedot(a, b, acc):
+    """(M, N) x (K, N) -> (M, K): contraction over the lane axis (A @ B^T)."""
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=acc,
-    ).astype(jnp.float32)
+    )
 
 
 def _kernel(
-    in_ref,  # (1, 1, K*5, CH) int32: K chunks of (raw, mask, left, right, pw)
-    row_ref,  # (1, 1, 1, L) f32     rescale LUT row for this channel's max
-    hist_ref,  # (1, 1, 1, L) f32     -- outputs, written once per (b, c) --
-    count_ref,  # (1, 1, 1, 1) f32
-    marg_l_ref,  # (1, 1, 1, L) f32
-    marg_r_ref,  # (1, 1, 1, L) f32
-    diff_ref,  # (1, 1, 1, DPAD) f32
-    sumsq_ref,  # (1, 1, 1, 4) i32 limbs (see stats._glcm_sumsq_limbs)
-    pairs_ref,  # (1, 1, 1, 1) f32
-    *,
+    *refs,
     levels: int,
-    dpad: int,
     num_chunks: int,
+    num_channels: int,
+    hw: int,
+    width: int,
+    window: tuple[int, int, int, int],
+    has_mask: bool,
 ):
+    if has_mask:
+        (raw_ref, rsh_ref, wi_ref, wsh_ref, row_ref,
+         hist_ref, count_ref, marg_l_ref, marg_r_ref, diff_ref, sumsq_ref,
+         pairs_ref) = refs
+    else:
+        (raw_ref, rsh_ref, row_ref,
+         hist_ref, count_ref, marg_l_ref, marg_r_ref, diff_ref, sumsq_ref,
+         pairs_ref) = refs
+
     L = levels
+    HI = L // 16
+    DHI = (2 * L) // 16
     f32 = jnp.float32
-    bf16 = jnp.int8 if _USE_INT8 else jnp.bfloat16
+    i32 = jnp.int32
+    oh_t = jnp.int8 if _USE_INT8 else jnp.bfloat16
     acc = jnp.int32 if _USE_INT8 else jnp.float32
+    r0, r1, c0, c1 = window
 
-    packed_all = in_ref[0, 0]  # (K*5, CH) i32; one DMA per grid step
-    row = row_ref[0, 0]  # (1, L) f32; row values up to 255 exceed int8
-    CH = packed_all.shape[1]
-    iota_lvl = jax.lax.broadcasted_iota(jnp.int32, (L, CH), 0)
-    iota_d = jax.lax.broadcasted_iota(jnp.int32, (dpad, CH), 0)
-    ones = jnp.ones((1, CH), bf16)
+    iota_LL = jax.lax.broadcasted_iota(i32, (L, L), 0)  # [i, v] = i
+    iota_hi = jax.lax.broadcasted_iota(i32, (HI, 1), 0)
+    iota_16 = jax.lax.broadcasted_iota(i32, (16, 1), 0)
+    iota_dhi = jax.lax.broadcasted_iota(i32, (DHI, 1), 0)
+    iota_lane = jax.lax.broadcasted_iota(i32, (1, L), 1).astype(jnp.bfloat16)
+    lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
+    ones_row = jnp.ones((1, raw_ref.shape[-1]), oh_t)
 
-    hist = jnp.zeros((1, L), f32)
-    count = jnp.zeros((1, 1), f32)
-    marg_l = jnp.zeros((1, L), f32)
-    marg_r = jnp.zeros((1, L), f32)
-    diffh = jnp.zeros((1, dpad), f32)
-    pairs = jnp.zeros((1, 1), f32)
-    # integer accumulator on the int8 path keeps counts exact to 2^31
-    glcm = jnp.zeros((L, L), acc)
-
-    # the chunk loop is unrolled in-kernel: one grid step per (image, channel)
-    # with write-once outputs (no revisited blocks, no init/emit predication)
+    # per-chunk static position masks: in-bounds pixels and valid pairs
+    # (the offset window), reconstructed from the flat pixel index
+    inb, valid = [], []
     for k in range(num_chunks):
-        base = 5 * k
-        raw = packed_all[base : base + 1, :]  # (1, CH)
-        wb = packed_all[base + 1 : base + 2, :] > 0
-        lraw = packed_all[base + 2 : base + 3, :]
-        rraw = packed_all[base + 3 : base + 4, :]
-        pwb = packed_all[base + 4 : base + 5, :] > 0
-        pw = pwb.astype(bf16)
+        flat = lane + k * raw_ref.shape[-1]
+        row_i = flat // width
+        col_i = flat - row_i * width
+        inb.append(flat < hw)
+        valid.append(
+            (row_i >= r0) & (row_i < r1) & (col_i >= c0) & (col_i < c1)
+            & (flat < hw)
+        )
 
-        # mask weights are binary, so weighting a one-hot is a boolean AND —
-        # this keeps every operand a plain 0/1 cast (int8-matmul friendly)
-        oh_raw_t = ((raw == iota_lvl) & wb).astype(bf16)  # (L, CH) weighted
-        hist += _rowdot(ones, oh_raw_t)
-        count += jnp.sum(wb.astype(f32), axis=1, keepdims=True)
+    for c in range(num_channels):
+        raw_all = raw_ref[0, c]  # (K, CH) i32
+        rsh_all = rsh_ref[0, c]
+        if has_mask:
+            wi_all = wi_ref[0, c] > 0
+            wsh_all = wsh_ref[0, c] > 0
 
-        # Reference rescale (ipynb:293-295): raw -> uint8 level via the
-        # pre-gathered LUT row:  resc[p] = sum_l row[l] * onehot_t[l, p]
-        oh_lraw_t = (lraw == iota_lvl).astype(bf16)
-        oh_rraw_t = (rraw == iota_lvl).astype(bf16)
-        resc_l = jnp.dot(
-            row, oh_lraw_t.astype(jnp.bfloat16) if _USE_INT8 else oh_lraw_t,
-            preferred_element_type=f32,
-        ).astype(jnp.int32)
-        resc_r = jnp.dot(
-            row, oh_rraw_t.astype(jnp.bfloat16) if _USE_INT8 else oh_rraw_t,
-            preferred_element_type=f32,
-        ).astype(jnp.int32)
+        # Rescale boundaries from the (monotone) LUT row: level i covers raw
+        # values in [start_i, end_i) with start_i = #{v: row[v] < i}.
+        row = row_ref[0, c].astype(i32)  # (1, L) integer-valued
+        start = jnp.sum((row < iota_LL).astype(i32), axis=1, keepdims=True)
+        end = jnp.sum((row <= iota_LL).astype(i32), axis=1, keepdims=True)
 
-        oh_l_t = ((resc_l == iota_lvl) & pwb).astype(bf16)  # (L, CH) weighted
-        oh_r_t = (resc_r == iota_lvl).astype(bf16)
-        marg_l += _rowdot(ones, oh_l_t)
-        marg_r += _rowdot(pw, oh_r_t)
+        hist16 = jnp.zeros((HI, 16), acc)
+        count = jnp.zeros((1, 1), f32)
+        marg_l = jnp.zeros((1, L), f32)
+        marg_r = jnp.zeros((1, L), f32)
+        dh16 = jnp.zeros((DHI, 16), acc)
+        pairs = jnp.zeros((1, 1), f32)
+        glcm = jnp.zeros((L, L), acc)
 
-        diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
-        oh_d_t = ((diff == iota_d) & pwb).astype(bf16)  # (dpad, CH) weighted
-        diffh += _rowdot(ones, oh_d_t)
+        # the chunk loop is unrolled in-kernel with write-once outputs
+        # (no revisited blocks, no init/emit predication)
+        for k in range(num_chunks):
+            raw = raw_all[k : k + 1, :]  # (1, CH) left pixel = raw pixel
+            rsh = rsh_all[k : k + 1, :]  # co-occurring neighbour
+            if has_mask:
+                wb = wi_all[k : k + 1, :] & inb[k]
+                pwb = wb & wsh_all[k : k + 1, :] & valid[k]
+            else:
+                wb = inb[k]
+                pwb = valid[k]
+            pw = pwb.astype(oh_t)
 
-        # G[i, j] += sum_p pw_p * [l_p == i] * [r_p == j]  — lane contraction
-        # (pair weight already folded into oh_l_t)
-        glcm += jax.lax.dot_general(
-            oh_l_t,
-            oh_r_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=acc,
-        )  # (L, L)
-        pairs += jnp.sum(pwb.astype(f32), axis=1, keepdims=True)
+            # --- factorized raw histogram: (HI, CH) x (16, CH) -> (HI, 16)
+            oh_hi = (((raw >> 4) == iota_hi) & wb).astype(oh_t)
+            oh_lo = ((raw & 15) == iota_16).astype(oh_t)
+            hist16 += _lanedot(oh_hi, oh_lo, acc)
+            count += jnp.sum(wb.astype(f32), axis=1, keepdims=True)
 
-    hist_ref[0, 0] = hist
-    count_ref[0, 0] = count
-    marg_l_ref[0, 0] = marg_l
-    marg_r_ref[0, 0] = marg_r
-    diff_ref[0, 0] = diffh
-    # exact sum(G^2) as base-2^k integer limbs (stats._glcm_sumsq_limbs):
-    # c = a*2^12 + b -> S = 2^24*S(a^2) + 2^13*S(ab) + 2^8*S(b^2>>8) + S(b^2&255)
-    g = glcm.astype(jnp.int32)
-    ga = g >> 12
-    gb = g & 4095
-    gbb = gb * gb
+            # --- rescaled one-hots straight from raw levels (boundary
+            # form); binary mask weighting is a boolean AND
+            oh_l = ((raw >= start) & (raw < end) & pwb).astype(oh_t)
+            oh_r = ((rsh >= start) & (rsh < end)).astype(oh_t)
+            marg_l += _lanedot(ones_row, oh_l, acc).astype(f32)
+            marg_r += _lanedot(pw, oh_r, acc).astype(f32)
 
-    def _total(x):  # (L, L) i32 -> (1, 1)
-        return jnp.sum(jnp.sum(x, axis=0, keepdims=True), axis=1, keepdims=True)
+            # G[i, j] += sum_p pw_p * [l_p == i] * [r_p == j] (pair weight
+            # already folded into oh_l)
+            glcm += _lanedot(oh_l, oh_r, acc)
+            pairs += jnp.sum(pwb.astype(f32), axis=1, keepdims=True)
 
-    iota4 = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
-    sumsq_ref[0, 0] = (
-        _total(ga * ga) * (iota4 == 0)
-        + _total(ga * gb) * (iota4 == 1)
-        + _total(gbb >> 8) * (iota4 == 2)
-        + _total(gbb & 255) * (iota4 == 3)
-    )
-    pairs_ref[0, 0] = pairs
+            # --- rescaled values for the difference histogram: iota matvec
+            # over the one-hots (masked pixels give resc_l = 0; the diff
+            # one-hot re-masks with pwb, so that is harmless)
+            resc_l = jnp.dot(
+                iota_lane, oh_l.astype(jnp.bfloat16),
+                preferred_element_type=f32,
+            ).astype(i32)
+            resc_r = jnp.dot(
+                iota_lane, oh_r.astype(jnp.bfloat16),
+                preferred_element_type=f32,
+            ).astype(i32)
+            diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
+            oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
+            oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
+            dh16 += _lanedot(oh_dhi, oh_dlo, acc)
+
+        hist_ref[0, c] = hist16.astype(i32)
+        count_ref[0, c] = count
+        marg_l_ref[0, c] = marg_l
+        marg_r_ref[0, c] = marg_r
+        diff_ref[0, c] = dh16.astype(i32)
+        # exact sum(G^2) as base-2^k integer limbs (stats._glcm_sumsq_limbs):
+        # c = a*2^12 + b -> S = 2^24*S(a^2) + 2^13*S(ab) + 2^8*S(b^2>>8)
+        #                      + S(b^2&255)
+        g = glcm.astype(i32)
+        ga = g >> 12
+        gb = g & 4095
+        gbb = gb * gb
+
+        def _total(x):  # (L, L) i32 -> (1, 1)
+            return jnp.sum(
+                jnp.sum(x, axis=0, keepdims=True), axis=1, keepdims=True
+            )
+
+        iota4 = jax.lax.broadcasted_iota(i32, (1, 4), 1)
+        sumsq_ref[0, c] = (
+            _total(ga * ga) * (iota4 == 0)
+            + _total(ga * gb) * (iota4 == 1)
+            + _total(gbb >> 8) * (iota4 == 2)
+            + _total(gbb & 255) * (iota4 == 3)
+        )
+        pairs_ref[0, c] = pairs
 
 
-def _chunk_rows(x, total, K, CH):
-    """(B, C, N) -> zero-padded (B, C, K, 1, CH), pixels kept on lanes (the
-    singleton axis makes the block's trailing dims equal the array's, per
-    Mosaic's block-shape rule)."""
+def _flat_chunks(x, total, K, CH):
+    """(B, C, N) -> zero-padded (B, C, K, CH) — a reshape (plus one pad when
+    N < total), never an interleaved copy."""
     B, C, n = x.shape
     if n != total:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, total - n)))
-    return x.reshape(B, C, K, 1, CH)
+    return x.reshape(B, C, K, CH)
 
 
-@functools.partial(jax.jit, static_argnames=("levels", "offset", "interpret"))
-def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("levels", "offset", "has_mask", "interpret")
+)
+def _pallas_stats_core(img, w, lut, *, levels, offset, has_mask, interpret):
+    """``w`` may be None when ``has_mask`` is False (no ones-array is ever
+    materialised for the maskless specialisation)."""
     B, C, H, W = img.shape
     L = levels
-    dpad = 2 * L  # 2L-1 rounded up to a lane-friendly size
+    if L % 16:
+        raise ValueError("the fused kernel requires levels % 16 == 0")
+    HI = L // 16
+    DHI = (2 * L) // 16
     f32 = jnp.float32
+    i32 = jnp.int32
 
     dr, dc = offset
     r0, r1 = max(0, -dr), H - max(0, dr)
     c0, c1 = max(0, -dc), W - max(0, dc)
     if r0 >= r1 or c0 >= c1:
         raise ValueError(f"GLCM offset {offset} leaves no valid pairs for {H}x{W}")
+    shift = dr * W + dc  # flat-index offset of the co-occurring neighbour
+    # row-major flattening makes the 2D offset a single flat shift; the
+    # offset-window mask (applied in-kernel) discards the wrapped positions
 
-    # XLA prologue: compute the channel max and gather its rescale LUT row
-    # (ipynb:293-295 semantics, exact via the LUT).
-    vmax = jnp.max(jnp.where(w > 0, img, -1), axis=(2, 3)).astype(jnp.int32)  # (B,C)
+    # XLA prologue: channel max -> rescale LUT row (ipynb:293-295, exact).
+    if has_mask:
+        vmax = jnp.max(jnp.where(w > 0, img, -1), axis=(2, 3)).astype(i32)
+    else:
+        vmax = jnp.max(img, axis=(2, 3)).astype(i32)
     rows = jnp.take(lut.astype(f32), jnp.clip(vmax, 0, L - 1).reshape(-1), axis=0)
     rows = rows.reshape(B, C, 1, L)
 
@@ -196,69 +268,98 @@ def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
     CH = min(_CHUNK, max(128, HW))
     K = -(-HW // CH)
     total = K * CH
-    wi = (w > 0).astype(jnp.int32)
-    streams = [
-        img.reshape(B, C, HW),
-        wi.reshape(B, C, HW),
-        img[:, :, r0:r1, c0:c1].reshape(B, C, -1),
-        img[:, :, r0 + dr : r1 + dr, c0 + dc : c1 + dc].reshape(B, C, -1),
-        (wi[:, :, r0:r1, c0:c1]
-         * wi[:, :, r0 + dr : r1 + dr, c0 + dc : c1 + dc]).reshape(B, C, -1),
-    ]
-    # one packed operand -> one input DMA per grid step instead of five,
-    # with all K chunks in the block (the kernel unrolls the chunk loop)
-    packed = jnp.stack(
-        [_chunk_rows(x.astype(jnp.int32), total, K, CH) for x in streams],
-        axis=4,
-    )[:, :, :, 0, :, :].reshape(B, C, K * 5, CH)
 
-    grid = (B, C)
-    in_spec = pl.BlockSpec(
-        (1, 1, K * 5, CH), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
+    flat = img.reshape(B, C, HW).astype(i32)
+    if shift >= 0:
+        flat_sh = jnp.pad(flat[:, :, shift:], ((0, 0), (0, 0), (0, shift)))
+    else:
+        flat_sh = jnp.pad(flat[:, :, :shift], ((0, 0), (0, 0), (-shift, 0)))
+    inputs = [
+        _flat_chunks(flat, total, K, CH),
+        _flat_chunks(flat_sh, total, K, CH),
+    ]
+    if has_mask:
+        wi = (w > 0).reshape(B, C, HW).astype(i32)
+        if shift >= 0:
+            wi_sh = jnp.pad(wi[:, :, shift:], ((0, 0), (0, 0), (0, shift)))
+        else:
+            wi_sh = jnp.pad(wi[:, :, :shift], ((0, 0), (0, 0), (-shift, 0)))
+        inputs += [
+            _flat_chunks(wi, total, K, CH),
+            _flat_chunks(wi_sh, total, K, CH),
+        ]
+    inputs.append(rows)
+
+    grid = (B,)
+    chunk_spec = pl.BlockSpec(
+        (1, C, K, CH), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
     row_spec = pl.BlockSpec(
-        (1, 1, 1, L), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
+        (1, C, 1, L), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    vec = lambda n: pl.BlockSpec(
-        (1, 1, 1, n), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
-    )
-    scal = pl.BlockSpec(
-        (1, 1, 1, 1), lambda b, c: (b, c, 0, 0), memory_space=pltpu.VMEM
+    in_specs = [chunk_spec] * (4 if has_mask else 2) + [row_spec]
+    blk = lambda m, n: pl.BlockSpec(
+        (1, C, m, n), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((B, C, 1, L), f32),  # hist
+        jax.ShapeDtypeStruct((B, C, HI, 16), i32),  # hist (factorized)
         jax.ShapeDtypeStruct((B, C, 1, 1), f32),  # count
         jax.ShapeDtypeStruct((B, C, 1, L), f32),  # marg_l
         jax.ShapeDtypeStruct((B, C, 1, L), f32),  # marg_r
-        jax.ShapeDtypeStruct((B, C, 1, dpad), f32),  # diff_hist (padded)
-        jax.ShapeDtypeStruct((B, C, 1, 4), jnp.int32),  # sumsq limbs
+        jax.ShapeDtypeStruct((B, C, DHI, 16), i32),  # diff_hist (factorized)
+        jax.ShapeDtypeStruct((B, C, 1, 4), i32),  # sumsq limbs
         jax.ShapeDtypeStruct((B, C, 1, 1), f32),  # pair_count
     )
-    out_specs = (vec(L), scal, vec(L), vec(L), vec(dpad), vec(4), scal)
+    out_specs = (
+        blk(HI, 16), blk(1, 1), blk(1, L), blk(1, L), blk(DHI, 16),
+        blk(1, 4), blk(1, 1),
+    )
 
-    kernel = functools.partial(_kernel, levels=L, dpad=dpad, num_chunks=K)
-    hist, count, marg_l, marg_r, diff, sumsq, pairs = pl.pallas_call(
+    kernel = functools.partial(
+        _kernel,
+        levels=L,
+        num_chunks=K,
+        num_channels=C,
+        hw=HW,
+        width=W,
+        window=(r0, r1, c0, c1),
+        has_mask=has_mask,
+    )
+    hist16, count, marg_l, marg_r, dh16, sumsq, pairs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[in_spec, row_spec],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
         ),
-    )(packed, rows)
+    )(*inputs)
 
+    # XLA epilogue: flatten the factor grids (row-major: value = hi*16 + lo)
+    hist = hist16.reshape(B, C, L).astype(f32)
+    diff_hist = dh16.reshape(B, C, 2 * L)[:, :, : 2 * L - 1].astype(f32)
     return SuffStats(
-        hist=hist[:, :, 0, :],
+        hist=hist,
         count=count[:, :, 0, 0],
         vmax=vmax,
         marg_l=marg_l[:, :, 0, :],
         marg_r=marg_r[:, :, 0, :],
-        diff_hist=diff[:, :, 0, : 2 * L - 1],
+        diff_hist=diff_hist,
         glcm_sumsq=sumsq[:, :, 0, :],
         pair_count=pairs[:, :, 0, 0],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "offset", "interpret"))
+def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
+    """Back-compat wrapper taking an explicit (B, C, H, W) weight array (the
+    sharded path passes one); all-ones weights use the maskless kernel."""
+    return _pallas_stats_core(
+        img, w, lut, levels=levels, offset=offset, has_mask=True,
+        interpret=interpret,
     )
 
 
@@ -278,8 +379,17 @@ def sufficient_stats_pallas(
     tests).
     """
     del with_intensity, with_glcm
-    img, w = _prep_inputs(images, mask)
     lut = jnp.asarray(rescale_lut(levels))
-    return _pallas_stats_jit(
-        img, w, lut, levels=levels, offset=offset, interpret=interpret
+    if mask is None:
+        # skip _prep_inputs' all-ones weight array (100 MB at B=2048)
+        images = jnp.asarray(images)
+        img = jnp.transpose(images, (0, 3, 1, 2)).astype(jnp.int32)
+        return _pallas_stats_core(
+            img, None, lut, levels=levels, offset=offset,
+            has_mask=False, interpret=interpret,
+        )
+    img, w = _prep_inputs(images, mask)
+    return _pallas_stats_core(
+        img, w, lut, levels=levels, offset=offset,
+        has_mask=True, interpret=interpret,
     )

@@ -176,7 +176,7 @@ def permutation_importance(
     of many correlated columns shows no score drop; permuting the whole
     channel does).
     """
-    X = np.asarray(X)
+    X = X if isinstance(X, jax.Array) else np.asarray(X)  # keep device-resident
     F = X.shape[1]
     if groups is None:
         masks = np.eye(F, dtype=np.float32)
