@@ -56,9 +56,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from tpumcia.features.hybrid import (
-        _device_reduce_packed,
+        _device_reduce_wire,
         assemble_reduced,
-        unpack_reduced,
+        unpack_wire,
     )
     from tpumcia.features.pallas_glcm import _pallas_stats_core
     from tpumcia.features.stats import rescale_lut
@@ -93,7 +93,7 @@ def main() -> None:
         feats_dev = jnp.nan_to_num(
             _finalize(st, jnp, jnp.float32, True, True).values
         )
-        return _device_reduce_packed(st), feats_dev
+        return _device_reduce_wire(st), feats_dev
 
     _one_batch_jit = jax.jit(_one_batch)  # one dispatch per batch
 
@@ -110,7 +110,7 @@ def main() -> None:
             futs = [
                 ex.submit(
                     lambda h: np.asarray(
-                        assemble_reduced(unpack_reduced(h)).values
+                        assemble_reduced(unpack_wire(h)).values
                     ),
                     np.asarray(p),
                 )

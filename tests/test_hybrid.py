@@ -63,6 +63,33 @@ def test_hybrid_falls_back_for_large_images(rng):
     np.testing.assert_array_equal(a.values, b.values)  # same (host) backend
 
 
+def test_wire_format_matches_packed(rng):
+    """The 20-word u32 wire decodes to exactly the same reduction dict as the
+    51-f32 packed layout (including fully-masked and constant channels)."""
+    from tpumcia.features.hybrid import (
+        _device_reduce_packed,
+        _device_reduce_wire,
+        unpack_reduced,
+        unpack_wire,
+    )
+    from tpumcia.features.stats import sufficient_stats
+
+    imgs = (rng.random((4, 24, 24, 2)) * 256).astype(np.uint8)
+    imgs[0, :, :, 0] = 9  # constant channel
+    mask = np.ones((4, 24, 24, 2), bool)
+    mask[1, :, :, 1] = False  # fully masked channel (n = 0)
+    stats = sufficient_stats(imgs, mask=mask)
+    a = unpack_reduced(np.asarray(_device_reduce_packed(stats)))
+    b = unpack_wire(np.asarray(_device_reduce_wire(stats)))
+    assert set(a) == set(b)
+    for key in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[key], np.float64),
+            np.asarray(b[key], np.float64),
+            err_msg=key,
+        )
+
+
 @pytest.mark.slow
 def test_hybrid_fuzz_vs_exact(rng):
     """Randomized images + masks: hybrid stays within the MAE target of the

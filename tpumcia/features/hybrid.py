@@ -59,8 +59,12 @@ def _device_reduce(stats: SuffStats):
     k_hi = k_lo + (rem > 0).astype(i32)
 
     def value_at(kq):  # (B, C, 9) -> level index of sorted order-statistic
-        return jnp.sum(
-            (cdf[:, :, None, :] <= kq[..., None]).astype(i32), axis=-1
+        # clip: an all-zero cdf (fully-masked channel) yields L, which the
+        # assembly masks to 0 anyway but would overflow the u32 wire's 8-bit
+        # index fields; n >= 1 rows are always <= L-1 (cdf[-1] = n > kq)
+        return jnp.minimum(
+            jnp.sum((cdf[:, :, None, :] <= kq[..., None]).astype(i32), axis=-1),
+            L - 1,
         )
 
     idx_lo = value_at(k_lo)
@@ -163,16 +167,129 @@ def unpack_reduced(packed: np.ndarray) -> dict:
     for f, width in _VEC_FIELDS:
         out[f] = packed[..., base : base + width]
         base += width
+    # direct f64 quadratic sums for assemble_reduced (the f32 wire carries
+    # them as base-256 limb pairs; the u32 wire carries them whole)
+    f64 = np.float64
+    out["s_i2"] = 256.0 * out.pop("s_i2_hi").astype(f64) + out.pop("s_i2_lo").astype(f64)
+    out["s_j2"] = 256.0 * out.pop("s_j2_hi").astype(f64) + out.pop("s_j2_lo").astype(f64)
+    out["s_d2"] = 256.0 * out.pop("s_d2_hi").astype(f64) + out.pop("s_d2_lo").astype(f64)
+    from tpumcia.features.stats import glcm_sumsq_value
+
+    out["sumsq_value"] = glcm_sumsq_value(out.pop("sumsq"), np, f64)
+    return out
+
+
+# --- u32 wire format ------------------------------------------------------
+# 20 uint32 words per (image, channel) — 2.55x fewer bytes on the D2H link
+# than the 51-f32 layout above. Valid for levels <= 256 and per-channel pixel
+# counts < 2^16 (the hybrid regime extract_features already enforces):
+#   w0  : n | min_lev<<16 | max_lev<<24
+#   w1  : npairs | (vmax+1)<<16
+#   w2  : total_raw                      (< 2^24)
+#   w3-7: percentile (idx_lo | idx_hi<<8) pairs, 2 per word (9 pairs + pad)
+#   w8-12: m2 m3 m4 entropy homog_sum    (f32 bit patterns)
+#   w13-15: s_i s_j dissim_raw           (< 2^24)
+#   w16-18: s_i2 s_j2 s_d2               (exact u32: <= 255^2 * 65535 < 2^32)
+#   w19 : sum(G^2)                       (exact u32: <= npairs^2 < 2^32)
+# `rem` is not sent — the host re-derives it from n (rem = q*10*(n-1) % 1000).
+WIRE_WORDS = 20
+
+
+@jax.jit
+def _device_reduce_wire(stats: SuffStats) -> jax.Array:
+    """(B, C, 20) uint32 — the minimal-byte exact wire format (levels<=256)."""
+    r = _device_reduce(stats)
+    u32 = jnp.uint32
+    u = lambda x: x.astype(u32)
+    fbits = lambda x: jax.lax.bitcast_convert_type(x.astype(jnp.float32), u32)
+
+    w0 = u(r["n"]) | (u(r["min_lev"]) << 16) | (u(r["max_lev"]) << 24)
+    w1 = u(r["npairs"]) | (u(r["vmax"] + 1) << 16)
+    w2 = u(r["total_raw"])
+    pair = u(r["idx_lo"]) | (u(r["idx_hi"]) << 8)  # (B, C, 9), 16 bits each
+    pair = jnp.concatenate([pair, jnp.zeros_like(pair[..., :1])], axis=-1)
+    w_pct = pair[..., 0::2] | (pair[..., 1::2] << 16)  # (B, C, 5)
+    w_float = jnp.stack(
+        [fbits(r[f]) for f in ("m2", "m3", "m4", "entropy", "homog_sum")],
+        axis=-1,
+    )
+    # exact u32 quadratic sums straight from the integer histograms: every
+    # true total is < 2^32 in the hybrid regime, so mod-2^32 accumulation is
+    # exact (the f32 wire needs base-256 limb pairs for the same values)
+    L = stats.marg_l.shape[-1]
+    k = jnp.arange(L, dtype=u32)
+    k2 = k * k
+    d = jnp.arange(2 * L - 1, dtype=jnp.int32) - (L - 1)
+    d2 = u(d * d)
+    s_i2 = jnp.sum(u(stats.marg_l.astype(jnp.int32)) * k2, axis=-1)
+    s_j2 = jnp.sum(u(stats.marg_r.astype(jnp.int32)) * k2, axis=-1)
+    s_d2 = jnp.sum(u(stats.diff_hist.astype(jnp.int32)) * d2, axis=-1)
+    limbs = u(stats.glcm_sumsq)  # weights 2^24, 2^13, 2^8, 1 (stats.py)
+    sumsq = (
+        (limbs[..., 0] << 24) + (limbs[..., 1] << 13)
+        + (limbs[..., 2] << 8) + limbs[..., 3]
+    )
+    scalars = jnp.stack(
+        [w0, w1, w2], axis=-1
+    )
+    tail = jnp.stack(
+        [u(r["s_i"]), u(r["s_j"]), u(r["dissim_raw"]), s_i2, s_j2, s_d2, sumsq],
+        axis=-1,
+    )
+    return jnp.concatenate([scalars, w_pct, w_float, tail], axis=-1)
+
+
+def unpack_wire(packed: np.ndarray) -> dict:
+    """Decode the u32 wire into the dict :func:`assemble_reduced` consumes.
+    O(B*C) numpy only."""
+    p = np.ascontiguousarray(np.asarray(packed))
+    assert p.dtype == np.uint32 and p.shape[-1] == WIRE_WORDS
+    i64 = np.int64
+    out = {}
+    w0 = p[..., 0]
+    out["n"] = (w0 & 0xFFFF).astype(i64)
+    out["min_lev"] = ((w0 >> 16) & 0xFF).astype(i64)
+    out["max_lev"] = ((w0 >> 24) & 0xFF).astype(i64)
+    w1 = p[..., 1]
+    out["npairs"] = (w1 & 0xFFFF).astype(i64)
+    out["vmax"] = (w1 >> 16).astype(i64) - 1
+    out["total_raw"] = p[..., 2].astype(i64)
+    pct = p[..., 3:8]
+    pairs = np.stack([pct & 0xFFFF, pct >> 16], axis=-1).reshape(
+        *pct.shape[:-1], 10
+    )[..., :9]
+    out["idx_lo"] = (pairs & 0xFF).astype(i64)
+    out["idx_hi"] = ((pairs >> 8) & 0xFF).astype(i64)
+    out["rem"] = (
+        _Q10.astype(i64)[None, None, :] * np.maximum(out["n"] - 1, 0)[..., None]
+    ) % 1000
+    floats = np.ascontiguousarray(p[..., 8:13]).view(np.float32)
+    out["m2"] = floats[..., 0]
+    out["m3"] = floats[..., 1]
+    out["m4"] = floats[..., 2]
+    out["entropy"] = floats[..., 3]
+    out["homog_sum"] = floats[..., 4]
+    out["s_i"] = p[..., 13].astype(i64)
+    out["s_j"] = p[..., 14].astype(i64)
+    out["dissim_raw"] = p[..., 15].astype(i64)
+    out["s_i2"] = p[..., 16].astype(np.float64)
+    out["s_j2"] = p[..., 17].astype(np.float64)
+    out["s_d2"] = p[..., 18].astype(np.float64)
+    out["sumsq_value"] = p[..., 19].astype(np.float64)
     return out
 
 
 def finalize_hybrid(
     stats: SuffStats, *, include_intensity: bool = True, include_glcm: bool = True
 ) -> FinalizedFeatures:
-    reduced = _device_reduce_packed(stats)
+    levels = stats.hist.shape[-1]
+    if levels <= 256:
+        reduced = unpack_wire(_device_reduce_wire(stats))
+    else:
+        reduced = unpack_reduced(_device_reduce_packed(stats))
     return assemble_reduced(
-        unpack_reduced(reduced),
-        levels=stats.hist.shape[-1],
+        reduced,
+        levels=levels,
         include_intensity=include_intensity,
         include_glcm=include_glcm,
     )
@@ -225,21 +342,18 @@ def assemble_reduced(
     if include_glcm:
         N = r["npairs"].astype(f64)
         safe_N = np.maximum(N, 1.0)
-        # limbs must be widened *before* reassembly: a float32 array times a
-        # python float stays float32 under NumPy 2 promotion, and 256*hi
-        # overflows the f32 integer range
-        s_d2 = 256.0 * r["s_d2_hi"].astype(f64) + r["s_d2_lo"].astype(f64)
-        s_i2 = 256.0 * r["s_i2_hi"].astype(f64) + r["s_i2_lo"].astype(f64)
-        s_j2 = 256.0 * r["s_j2_hi"].astype(f64) + r["s_j2_lo"].astype(f64)
+        # exact integer quadratic sums, already reassembled to f64 by the
+        # wire decoders (unpack_wire / unpack_reduced)
+        s_d2 = r["s_d2"]
+        s_i2 = r["s_i2"]
+        s_j2 = r["s_j2"]
         s_i = r["s_i"].astype(f64)
         s_j = r["s_j"].astype(f64)
 
         contrast = s_d2 / safe_N
         dissimilarity = r["dissim_raw"].astype(f64) / safe_N
         homogeneity = r["homog_sum"].astype(f64) / safe_N
-        from tpumcia.features.stats import glcm_sumsq_value
-
-        asm = glcm_sumsq_value(r["sumsq"], np, f64) / (safe_N * safe_N)
+        asm = r["sumsq_value"] / (safe_N * safe_N)
         energy = np.sqrt(asm)
         # correlation from exact integer sums: cov*N^2 = N*s_ij - s_i*s_j
         s_ij = (s_i2 + s_j2 - s_d2) / 2.0
