@@ -128,8 +128,52 @@ def main() -> None:
 
     names = registry.feature_names(3)
 
-    from tpumcia.models.heads import LogisticHead
+    from jax.tree_util import Partial
+
+    from tpumcia.models.heads import LogisticHead, _fit_logistic
     from tpumcia.models.scaler import MinMaxScaler
+    from tpumcia.importance.permutation import (
+        _perm_sweep,
+        _scaled_logistic_apply,
+    )
+
+    head_cfg = HeadConfig(kind="logistic", num_steps=300)
+    N_REPEATS = 10
+
+    def _head_and_sweep(X_dev, tr_idx, te_idx, y_tr_onehot, y_te_idx, masks,
+                        w0, b0, sweep_key):
+        """take -> MinMax fit/transform -> logistic fit -> permutation sweep,
+        ONE device dispatch + ONE packed scalar fetch (each extra dispatch or
+        fetch costs a full round trip through the remote device link). Same
+        math as MinMaxScaler.fit + LogisticHead.fit + permutation_importance."""
+        X_tr = jnp.take(X_dev, tr_idx, axis=0)
+        X_te = jnp.take(X_dev, te_idx, axis=0)
+        dmin = jnp.min(X_tr, axis=0)
+        dmax = jnp.max(X_tr, axis=0)
+        rng = dmax - dmin
+        dscale = jnp.where(rng != 0, 1.0 / jnp.where(rng != 0, rng, 1.0), 1.0)
+        params = _fit_logistic(
+            (X_tr - dmin) * dscale, y_tr_onehot, w0, b0,
+            num_steps=head_cfg.num_steps, lr=head_cfg.learning_rate,
+            l2=head_cfg.l2,
+        )
+        baseline, imp = _perm_sweep(
+            X_te, y_te_idx, masks,
+            sweep_key, Partial(_scaled_logistic_apply, params, dmin, dscale),
+            n_repeats=N_REPEATS,
+        )
+        packed = jnp.concatenate([baseline[None], jnp.mean(imp, axis=1)])
+        return packed, params, dmin, dmax
+
+    _head_and_sweep_jit = jax.jit(_head_and_sweep)
+
+    groups = registry.columns_by_channel_positional(3)
+    F = len(names)
+    all_masks = np.zeros((len(groups) + F, F), np.float32)
+    for g, cols in enumerate(groups):
+        all_masks[g, cols] = 1.0
+    all_masks[len(groups):] = np.eye(F, dtype=np.float32)
+    masks_dev = jnp.asarray(all_masks)
 
     def full_pipeline():
         X_host, X_dev = features_for(batches)
@@ -139,30 +183,33 @@ def main() -> None:
         )
         # head + sweeps ride the device-resident f32 features (the exact
         # host X above is the returned artifact) — no re-upload of the
-        # feature matrix through the link
-        X_tr = jnp.take(X_dev, jnp.asarray(split.train_idx), axis=0)
-        X_te = jnp.take(X_dev, jnp.asarray(split.test_idx), axis=0)
-        scaler = MinMaxScaler.fit(X_tr)
-        head = LogisticHead.fit(
-            X_tr, labels[split.train_idx],
-            config=HeadConfig(kind="logistic", num_steps=300), scaler=scaler,
+        # feature matrix through the link. Both sweeps (channel-grouped,
+        # ipynb-style per-feature) run inside the one fused dispatch.
+        y_tr = labels[split.train_idx]
+        classes, y_tr_idx = np.unique(y_tr, return_inverse=True)
+        y_te_idx = np.searchsorted(classes, labels[split.test_idx])
+        k = len(classes)
+        w0 = jax.random.normal(
+            jax.random.key(head_cfg.seed), (F, k), jnp.float32
+        ) * 0.01
+        packed, params, dmin, dmax = _head_and_sweep_jit(
+            X_dev[: len(gray)],
+            jnp.asarray(split.train_idx), jnp.asarray(split.test_idx),
+            jax.nn.one_hot(jnp.asarray(y_tr_idx), k),
+            jnp.asarray(y_te_idx, jnp.int32),
+            masks_dev, w0, jnp.zeros((k,), jnp.float32),
+            jax.random.key(42),
         )
-        # both sweeps (channel-grouped, ipynb-style per-feature) in ONE
-        # device dispatch: each dispatch costs a full round trip through the
-        # remote device link, so the mask sets are concatenated
-        from tpumcia.importance.permutation import permutation_importance
-
-        groups = registry.columns_by_channel_positional(3)
-        F = len(names)
-        all_masks = groups + [[j] for j in range(F)]
-        sweep = permutation_importance(
-            head, X_te, labels[split.test_idx],
-            n_repeats=10, seed=42, groups=all_masks,
-        )
-        chan_mean = sweep.importances_mean[: len(groups)]
-        feat_mean = sweep.importances_mean[len(groups):]
+        packed = np.asarray(packed)  # the one head/sweep fetch
+        mean_imp = packed[1:]
+        chan_mean = mean_imp[: len(groups)]
+        feat_mean = mean_imp[len(groups):]
         feat_chan_total = np.array(
             [feat_mean[cols].sum() for cols in groups]
+        )
+        head = LogisticHead(
+            params=params, classes=classes,
+            scaler=MinMaxScaler.from_stats(dmin, dmax), config=head_cfg,
         )
         return X, split, head, chan_mean, feat_chan_total
 
