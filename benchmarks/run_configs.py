@@ -1,0 +1,196 @@
+"""Per-config benchmarks for the five BASELINE.json workloads.
+
+Prints one JSON line per config; ``python benchmarks/run_configs.py`` runs
+all, ``--config N`` runs one. Results are recorded in BENCHMARKS.md.
+
+Timing discipline (CLAUDE.md): every timed section forces a device->host
+fetch; extraction kernels are timed over chained dispatches with one final
+fetch (single-dispatch timings are dominated by link latency).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _rate(n, elapsed):
+    return round(n / elapsed, 1)
+
+
+def config1_masked_extraction(batch=2048, reps=8):
+    """Config 1: hand-crafted per-channel features on 3-channel 64x64 cell
+    crops WITH masks (the notebook's CPU path, batched; ipynb:206-311)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpumcia.features.extract import extract_features
+
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((batch, 64, 64, 3)) * 256).astype(np.uint8)
+    mask = rng.random((batch, 64, 64, 3)) > 0.2
+    imgs_d, mask_d = jax.device_put(imgs), jax.device_put(mask)
+
+    fm = extract_features(imgs_d, mask=mask_d)  # warm/compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        fm = extract_features(imgs_d, mask=mask_d)
+    np.asarray(fm.values)
+    elapsed = time.perf_counter() - t0
+    return {
+        "config": 1,
+        "name": "masked_feature_extraction",
+        "images_per_sec": _rate(batch * reps, elapsed),
+        "batch": batch,
+        "masked": True,
+        "features": int(fm.values.shape[1]),
+    }
+
+
+def config3_cnn(n=512, epochs=2):
+    """Config 3: ResNet-18-style CNN (C-channel stem) + occlusion channel
+    importance."""
+    import numpy as np
+
+    from tpumcia.importance.occlusion import channel_occlusion_importance
+    from tpumcia.io.synthetic import synthetic_mednist
+    from tpumcia.models.train import CNNConfig, fit_cnn
+    from tpumcia.preprocess.synth import add_noise_channels
+    import jax
+
+    gray, labels, _ = synthetic_mednist(n // 6 + 1, num_classes=6, seed=0)
+    gray = gray[:n]
+    labels = labels[:n]
+    imgs = np.asarray(add_noise_channels(jax.device_put(gray), jax.random.key(0)))
+    x = imgs.astype(np.float32) / 255.0
+
+    cfg = CNNConfig(
+        num_classes=6, depth="18", width=32, epochs=epochs, batch_size=128
+    )
+    t0 = time.perf_counter()
+    head = fit_cnn(x, labels, config=cfg)
+    train_s = time.perf_counter() - t0
+    acc = head.score(x, labels)
+    t0 = time.perf_counter()
+    occ_vals = np.asarray(channel_occlusion_importance(head, x[:256], labels[:256]))
+    occ_s = time.perf_counter() - t0
+    return {
+        "config": 3,
+        "name": "cnn_train_plus_occlusion",
+        "train_images_per_sec": _rate(n * epochs, train_s),
+        "occlusion_images_per_sec": _rate(256, occ_s),
+        "train_accuracy": round(float(acc), 4),
+        "signal_channel_first": bool(int(np.argmax(occ_vals)) == 0),
+    }
+
+
+def config4_cytometry(n=2048, reps=4):
+    """Config 4: 12-channel 16-bit stacks with masks + donor-grouped split."""
+    import jax
+    import numpy as np
+
+    from tpumcia.config import FeatureConfig, PipelineConfig, SplitConfig
+    from tpumcia.pipeline.run import run_pipeline
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 65536, (n, 32, 32, 12), dtype=np.uint16)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    # class signal on channel 4
+    imgs[..., 4] = (imgs[..., 4] // 4 + labels[:, None, None] * 15000).astype(
+        np.uint16
+    )
+    mask = rng.random((n, 32, 32, 12)) > 0.1
+    donors = np.array([f"D{i % 8}" for i in range(n)])
+
+    from tpumcia.preprocess.normalize import quantize_to_levels
+    from tpumcia.features.extract import extract_features
+
+    imgs_d = jax.device_put(imgs)
+    q = quantize_to_levels(imgs_d, levels=256, src_levels=65536)
+    fm = extract_features(q, mask=jax.device_put(mask))  # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        q = quantize_to_levels(imgs_d, levels=256, src_levels=65536)
+        fm = extract_features(q, mask=jax.device_put(mask))
+    np.asarray(fm.values)
+    extract_s = time.perf_counter() - t0
+
+    cfg = PipelineConfig(split=SplitConfig(group_by="donor"))
+    res = run_pipeline(
+        np.asarray(q), labels, config=cfg, mask=mask, groups=donors
+    )
+    tr_donors = set(donors[res.train_idx])
+    te_donors = set(donors[res.test_idx])
+    return {
+        "config": 4,
+        "name": "cytometry_12ch_grouped",
+        "images_per_sec_extraction": _rate(n * reps, extract_s),
+        "channels": 12,
+        "test_accuracy": round(res.test_accuracy, 4),
+        "signal_channel_first": bool(
+            int(np.argmax(res.channel_result.total)) == 4
+        ),
+        "donor_groups_disjoint": bool(not (tr_donors & te_donors)),
+    }
+
+
+def config5_streaming(n=16384, shard=2048):
+    """Config 5: manifest-driven streaming extraction with resume."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from tpumcia.io.synthetic import synthetic_multichannel
+    from tpumcia.pipeline.streaming import stream_extract
+
+    imgs, labels, _ = synthetic_multichannel(n // 6 + 1, seed=0)
+    imgs = imgs[:n]
+
+    def fetch(idx):
+        return imgs[idx], None, None
+
+    out = tempfile.mkdtemp()
+    try:
+        t0 = time.perf_counter()
+        res = stream_extract(fetch, n, out, shard_size=shard)
+        elapsed = time.perf_counter() - t0
+        return {
+            "config": 5,
+            "name": "streaming_sharded",
+            "images_per_sec": _rate(n, elapsed),
+            "n_objects": n,
+            "shards": res.shards_computed,
+            "reported_rate": res.images_per_second,
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+CONFIGS = {
+    1: config1_masked_extraction,
+    3: config3_cnn,
+    4: config4_cytometry,
+    5: config5_streaming,
+}
+
+
+def main():
+    from tpumcia.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=None)
+    args = ap.parse_args()
+    todo = [args.config] if args.config else sorted(CONFIGS)
+    for c in todo:
+        try:
+            print(json.dumps(CONFIGS[c]()))
+        except Exception as e:  # keep going; record the failure
+            print(json.dumps({"config": c, "error": repr(e)}))
+
+
+if __name__ == "__main__":
+    main()
