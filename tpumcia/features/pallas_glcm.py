@@ -37,6 +37,23 @@ restructure:
 * **Grid over images only**, channels unrolled in-kernel, amortising
   per-grid-step overhead over C channels.
 
+v3 kernel — measured ablation at B=2048 (17.9 us/img): one-hot construction
+5.6, diff path 5.1, G matmul 3.3 (MXU roofline), hist+fixed 3.0. Changes:
+
+* **Sentinel masking.** Pair validity folds into the left raw stream as a
+  ``-1`` sentinel (one (1, CH) select) instead of an (L, CH) boolean AND on
+  the built one-hot (-2.4 us/img).
+* **s8 nibble matvecs for the rescaled values.** ``resc = 16*(hi_w @ oh) +
+  lo_w @ oh`` with int8 nibble weights replaces the (L, CH) i8->bf16 cast +
+  bf16 iota matvec per side (-2.0 us/img). 13.55 us/img (73.8k img/s) after
+  both.
+* **Static counts.** The maskless kernel's pixel/pair counts are Python
+  constants of the offset window — no VPU reductions.
+* Rejected by measurement: 2 images/grid step (+1.4% only, VMEM-OOM at 4);
+  int8/bf16/bool-shift single-compare one-hots (Mosaic won't legalize
+  ``arith.subi``/``arith.cmpf`` on packed sub-32-bit vectors or mask
+  concats).
+
 Layout design (the part that matters on TPU): every HBM operand keeps its
 pixel axis on *lanes* — inputs are (B, C, K, CHUNK) chunk rows, outputs are
 (B, C, 1, L) rows or (B, C, HI, 16) factor grids, so nothing acquires a
@@ -58,6 +75,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -110,21 +128,37 @@ def _kernel(
     iota_hi = jax.lax.broadcasted_iota(i32, (HI, 1), 0)
     iota_16 = jax.lax.broadcasted_iota(i32, (16, 1), 0)
     iota_dhi = jax.lax.broadcasted_iota(i32, (DHI, 1), 0)
-    iota_lane = jax.lax.broadcasted_iota(i32, (1, L), 1).astype(jnp.bfloat16)
+    iota_lane = jax.lax.broadcasted_iota(i32, (1, L), 1)
+    # nibble weights of the level index: resc = 16*(hi_w @ oh) + lo_w @ oh.
+    # Both fit int8, so recovering rescaled values from the one-hots costs
+    # two s8 matvecs instead of an (L, CH) i8->bf16 cast + bf16 matvec.
+    hi_w = (iota_lane >> 4).astype(oh_t)  # (1, L) in 0..15
+    lo_w = (iota_lane & 15).astype(oh_t)
     lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
     ones_row = jnp.ones((1, raw_ref.shape[-1]), oh_t)
 
     # per-chunk static position masks: in-bounds pixels and valid pairs
-    # (the offset window), reconstructed from the flat pixel index
+    # (the offset window), reconstructed from the flat pixel index. The
+    # per-chunk pixel/pair counts are Python-computable (static window),
+    # so the maskless kernel never reduces them on the VPU.
+    CH = raw_ref.shape[-1]
     inb, valid = [], []
+    inb_full, n_inb, n_valid = [], [], []
     for k in range(num_chunks):
-        flat = lane + k * raw_ref.shape[-1]
+        flat = lane + k * CH
         row_i = flat // width
         col_i = flat - row_i * width
         inb.append(flat < hw)
         valid.append(
             (row_i >= r0) & (row_i < r1) & (col_i >= c0) & (col_i < c1)
             & (flat < hw)
+        )
+        inb_full.append((k + 1) * CH <= hw)
+        n_inb.append(max(0, min(hw - k * CH, CH)))
+        p = np.arange(k * CH, min((k + 1) * CH, hw))
+        ri, ci = p // width, p % width
+        n_valid.append(
+            int(np.sum((ri >= r0) & (ri < r1) & (ci >= c0) & (ci < c1)))
         )
 
     for c in range(num_channels):
@@ -156,45 +190,55 @@ def _kernel(
             if has_mask:
                 wb = wi_all[k : k + 1, :] & inb[k]
                 pwb = wb & wsh_all[k : k + 1, :] & valid[k]
+                count += jnp.sum(wb.astype(f32), axis=1, keepdims=True)
+                pairs += jnp.sum(pwb.astype(f32), axis=1, keepdims=True)
             else:
                 wb = inb[k]
                 pwb = valid[k]
             pw = pwb.astype(oh_t)
 
             # --- factorized raw histogram: (HI, CH) x (16, CH) -> (HI, 16)
-            oh_hi = (((raw >> 4) == iota_hi) & wb).astype(oh_t)
+            oh_hi = (raw >> 4) == iota_hi
+            if has_mask or not inb_full[k]:
+                oh_hi = oh_hi & wb  # pad pixels only exist in the tail chunk
+            oh_hi = oh_hi.astype(oh_t)
             oh_lo = ((raw & 15) == iota_16).astype(oh_t)
             hist16 += _lanedot(oh_hi, oh_lo, acc)
-            count += jnp.sum(wb.astype(f32), axis=1, keepdims=True)
 
             # --- rescaled one-hots straight from raw levels (boundary
-            # form); binary mask weighting is a boolean AND
-            oh_l = ((raw >= start) & (raw < end) & pwb).astype(oh_t)
+            # form); pair validity folds into the left stream as a -1
+            # sentinel, one (1, CH) select instead of an (L, CH) AND
+            rawm = jnp.where(pwb, raw, -1)
+            oh_l = ((rawm >= start) & (rawm < end)).astype(oh_t)
             oh_r = ((rsh >= start) & (rsh < end)).astype(oh_t)
             marg_l += _lanedot(ones_row, oh_l, acc).astype(f32)
             marg_r += _lanedot(pw, oh_r, acc).astype(f32)
 
             # G[i, j] += sum_p pw_p * [l_p == i] * [r_p == j] (pair weight
-            # already folded into oh_l)
+            # already folded into oh_l via the sentinel)
             glcm += _lanedot(oh_l, oh_r, acc)
-            pairs += jnp.sum(pwb.astype(f32), axis=1, keepdims=True)
 
-            # --- rescaled values for the difference histogram: iota matvec
-            # over the one-hots (masked pixels give resc_l = 0; the diff
-            # one-hot re-masks with pwb, so that is harmless)
-            resc_l = jnp.dot(
-                iota_lane, oh_l.astype(jnp.bfloat16),
-                preferred_element_type=f32,
-            ).astype(i32)
-            resc_r = jnp.dot(
-                iota_lane, oh_r.astype(jnp.bfloat16),
-                preferred_element_type=f32,
-            ).astype(i32)
+            # --- rescaled values for the difference histogram: two s8
+            # nibble-weight matvecs over the one-hots (masked pixels give
+            # resc_l = -16-1...0-ish values; the diff one-hot re-masks with
+            # pwb, so aliasing is harmless)
+            resc_l = (
+                jnp.dot(hi_w, oh_l, preferred_element_type=i32) * 16
+                + jnp.dot(lo_w, oh_l, preferred_element_type=i32)
+            )
+            resc_r = (
+                jnp.dot(hi_w, oh_r, preferred_element_type=i32) * 16
+                + jnp.dot(lo_w, oh_r, preferred_element_type=i32)
+            )
             diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
             oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
             oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
             dh16 += _lanedot(oh_dhi, oh_dlo, acc)
 
+        if not has_mask:
+            # static window -> counts are compile-time constants
+            count = jnp.full((1, 1), float(sum(n_inb)), f32)
+            pairs = jnp.full((1, 1), float(sum(n_valid)), f32)
         hist_ref[0, c] = hist16.astype(i32)
         count_ref[0, c] = count
         marg_l_ref[0, c] = marg_l
