@@ -12,7 +12,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _rate(n, elapsed):
@@ -49,7 +53,7 @@ def config1_masked_extraction(batch=2048, reps=8):
     }
 
 
-def config3_cnn(n=512, epochs=2):
+def config3_cnn(n=2048, epochs=8):
     """Config 3: ResNet-18-style CNN (C-channel stem) + occlusion channel
     importance."""
     import numpy as np
@@ -67,20 +71,20 @@ def config3_cnn(n=512, epochs=2):
     x = imgs.astype(np.float32) / 255.0
 
     cfg = CNNConfig(
-        num_classes=6, depth="18", width=32, epochs=epochs, batch_size=128
+        num_classes=6, depth="18", width=32, epochs=epochs, batch_size=256
     )
     t0 = time.perf_counter()
     head = fit_cnn(x, labels, config=cfg)
     train_s = time.perf_counter() - t0
     acc = head.score(x, labels)
     t0 = time.perf_counter()
-    occ_vals = np.asarray(channel_occlusion_importance(head, x[:256], labels[:256]))
+    occ_vals = np.asarray(channel_occlusion_importance(head, x[:512], labels[:512]))
     occ_s = time.perf_counter() - t0
     return {
         "config": 3,
         "name": "cnn_train_plus_occlusion",
         "train_images_per_sec": _rate(n * epochs, train_s),
-        "occlusion_images_per_sec": _rate(256, occ_s),
+        "occlusion_images_per_sec": _rate(512, occ_s),
         "train_accuracy": round(float(acc), 4),
         "signal_channel_first": bool(int(np.argmax(occ_vals)) == 0),
     }

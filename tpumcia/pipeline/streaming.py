@@ -62,6 +62,7 @@ def stream_extract(
     config_tag: str | None = None,
     mesh=None,
     prefetch_depth: int = 2,
+    stage_on_device: bool = True,
 ) -> StreamResult:
     """Extract features over ``n`` objects in resumable shards.
 
@@ -71,6 +72,12 @@ def stream_extract(
     so host decode of shard i+1 overlaps the device reduction of shard i;
     ``prefetch_depth=0`` fetches synchronously. With ``mesh``, each shard is
     computed SPMD over the mesh's ``data`` axis (BASELINE.json config 5).
+
+    ``stage_on_device``: the prefetch worker also ``device_put``s each
+    shard's images/mask, so the H2D upload (the dominant per-shard cost on a
+    remote-link device: ~12 KB/image) overlaps the previous shard's device
+    reduction instead of serialising with it. Ignored when ``mesh`` is set
+    (the sharded path places data itself).
     """
     cfg = config or FeatureConfig()
     out_dir = Path(out_dir)
@@ -102,6 +109,18 @@ def stream_extract(
             skipped += 1
         else:
             pending.append((start, stop))
+
+    if stage_on_device and mesh is None:
+        import jax
+
+        inner_fetch = fetch
+
+        def fetch(idx):  # noqa: F811 - deliberate staging wrapper
+            images, mask, labels = inner_fetch(idx)
+            images = jax.device_put(images)
+            if mask is not None:
+                mask = jax.device_put(mask)
+            return images, mask, labels
 
     if prefetch_depth > 0 and len(pending) > 1:
         from tpumcia.io.loader import PrefetchLoader
