@@ -97,12 +97,9 @@ def main() -> None:
 
     _one_batch_jit = jax.jit(_one_batch)  # one dispatch per batch
 
-    def features_for(gray_batches):
+    def fetch_features(outs):
         from concurrent.futures import ThreadPoolExecutor
 
-        keys = jax.random.split(key, len(gray_batches))
-        outs = [_one_batch_jit((g, k)) for g, k in zip(gray_batches, keys)]
-        X_dev = jnp.concatenate([f for _, f in outs])  # stays on device
         # one fetch per batch, assembled per batch on a worker thread: the
         # host f64 assembly of batch i runs while the D2H of batch i+1 is on
         # the wire (numpy releases the GIL for both)
@@ -116,8 +113,7 @@ def main() -> None:
                 )
                 for p, _ in outs
             ]
-            X_host = np.concatenate([f.result() for f in futs])
-        return X_host, X_dev
+            return np.concatenate([f.result() for f in futs])
 
     # pad to a whole number of fixed-size batches (extraction of the padding
     # rows is real work; the padded rows are dropped before the head)
@@ -176,15 +172,18 @@ def main() -> None:
     masks_dev = jnp.asarray(all_masks)
 
     def full_pipeline():
-        X_host, X_dev = features_for(batches)
-        X = np.nan_to_num(X_host.astype(np.float32))[: len(gray)]
-        split = train_test_split_indices(
-            len(X), test_size=0.25, seed=0, stratify=labels
-        )
+        keys = jax.random.split(key, len(batches))
+        outs = [_one_batch_jit((g, k)) for g, k in zip(batches, keys)]
+        X_dev = jnp.concatenate([f for _, f in outs])  # stays on device
         # head + sweeps ride the device-resident f32 features (the exact
-        # host X above is the returned artifact) — no re-upload of the
+        # host X below is the returned artifact) — no re-upload of the
         # feature matrix through the link. Both sweeps (channel-grouped,
-        # ipynb-style per-feature) run inside the one fused dispatch.
+        # ipynb-style per-feature) run inside the one fused dispatch, which
+        # is ENQUEUED BEFORE the wire fetches: its device compute and link
+        # round trip hide under the D2H of the feature-matrix scalars.
+        split = train_test_split_indices(
+            len(gray), test_size=0.25, seed=0, stratify=labels
+        )
         y_tr = labels[split.train_idx]
         classes, y_tr_idx = np.unique(y_tr, return_inverse=True)
         y_te_idx = np.searchsorted(classes, labels[split.test_idx])
@@ -200,6 +199,8 @@ def main() -> None:
             masks_dev, w0, jnp.zeros((k,), jnp.float32),
             jax.random.key(42),
         )
+        X_host = fetch_features(outs)
+        X = np.nan_to_num(X_host.astype(np.float32))[: len(gray)]
         packed = np.asarray(packed)  # the one head/sweep fetch
         mean_imp = packed[1:]
         chan_mean = mean_imp[: len(groups)]

@@ -161,6 +161,30 @@ def test_stream_extract_resume(tmp_path):
     assert fm.shape == (12, 69)
 
 
+def test_stream_extract_device_staging_parity(tmp_path):
+    """stage_on_device moves the H2D upload onto the prefetch worker; results
+    must be identical with it on (default) and off."""
+    from tpumcia.config import FeatureConfig
+
+    images, labels, _ = synthetic_multichannel(4, num_classes=3, seed=5)
+
+    def fetch(idx):
+        return images[idx], None, labels[idx]
+
+    cfg = FeatureConfig(use_pallas="never")
+    res_on = stream_extract(
+        fetch, len(images), tmp_path / "on", shard_size=5, config=cfg
+    )
+    res_off = stream_extract(
+        fetch, len(images), tmp_path / "off", shard_size=5, config=cfg,
+        stage_on_device=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_on.features.values), np.asarray(res_off.features.values)
+    )
+    np.testing.assert_array_equal(res_on.labels, res_off.labels)
+
+
 def test_stream_extract_h5_directory(h5_objects, tmp_path):
     """h5-dir -> streaming composition: prefetch-overlapped shards, resume,
     quantised uint16, labels and masks threaded through (VERDICT r1 next #5)."""
