@@ -100,20 +100,16 @@ def main() -> None:
     def fetch_features(outs):
         from concurrent.futures import ThreadPoolExecutor
 
-        # one fetch per batch, assembled per batch on a worker thread: the
-        # host f64 assembly of batch i runs while the D2H of batch i+1 is on
-        # the wire (numpy releases the GIL for both)
-        with ThreadPoolExecutor(1) as ex:
-            futs = [
-                ex.submit(
-                    lambda h: np.asarray(
-                        assemble_reduced(unpack_wire(h)).values
-                    ),
-                    np.asarray(p),
-                )
-                for p, _ in outs
-            ]
-            return np.concatenate([f.result() for f in futs])
+        # CONCURRENT per-batch fetches: the remote link's per-transfer
+        # overhead dominates serial chunked D2H (measured 11 MB/s serial vs
+        # 30 MB/s with 6 streams), so each worker fetches its batch's wire
+        # and assembles it on host (numpy releases the GIL for both)
+        def one(out):
+            p, _ = out
+            return np.asarray(assemble_reduced(unpack_wire(np.asarray(p))).values)
+
+        with ThreadPoolExecutor(len(outs)) as ex:
+            return np.concatenate(list(ex.map(one, outs)))
 
     # pad to a whole number of fixed-size batches (extraction of the padding
     # rows is real work; the padded rows are dropped before the head)
