@@ -212,10 +212,10 @@ def main() -> None:
 
     full_pipeline()  # warm-up: compiles every stage at the real shapes
 
-    # ---- timed pipeline (best of 2: the remote device link adds several
+    # ---- timed pipeline (best of 3: the remote device link adds several
     # hundred ms of run-to-run jitter) ---------------------------------------
     elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         X, split, head, chan_mean, feat_chan_total = full_pipeline()
         elapsed = min(elapsed, time.perf_counter() - t0)
