@@ -53,6 +53,54 @@ def config1_masked_extraction(batch=2048, reps=8):
     }
 
 
+def config2_importance(n=12000, n_repeats=10):
+    """Config 2: channel-permutation importance with logistic AND RF heads
+    over the hand-crafted feature matrix (notebook rankings, ipynb:493-505).
+    The device sweep replaces the reference's joblib process pool."""
+    import jax
+    import numpy as np
+
+    from tpumcia.config import HeadConfig, ImportanceConfig
+    from tpumcia.features.extract import extract_features
+    from tpumcia.importance.channels import channel_importance
+    from tpumcia.io.synthetic import synthetic_mednist
+    from tpumcia.models.heads import fit_head
+    from tpumcia.preprocess.synth import add_noise_channels
+    from tpumcia.utils.split import train_test_split_indices
+
+    gray, labels, _ = synthetic_mednist(n // 6, num_classes=6, seed=0)
+    imgs = np.asarray(
+        add_noise_channels(jax.device_put(gray), jax.random.key(0))
+    )
+    fm = extract_features(imgs)
+    X = np.nan_to_num(np.asarray(fm.values, np.float32))
+    split = train_test_split_indices(len(X), test_size=0.25, seed=0,
+                                     stratify=labels)
+    X_te, y_te = X[split.test_idx], labels[split.test_idx]
+
+    out = {"config": 2, "name": "channel_permutation_importance",
+           "n_test": int(len(X_te)), "n_repeats": n_repeats}
+    for kind in ("logistic", "random_forest"):
+        head = fit_head(X[split.train_idx], labels[split.train_idx],
+                        config=HeadConfig(kind=kind))
+        icfg = ImportanceConfig(n_repeats=n_repeats)
+        res = channel_importance(
+            head, fm, labels, method="permutation", config=icfg,
+            eval_features=X_te, eval_labels=y_te,
+        )  # warm
+        t0 = time.perf_counter()
+        res = channel_importance(
+            head, fm, labels, method="permutation", config=icfg,
+            eval_features=X_te, eval_labels=y_te,
+        )
+        sweep_s = time.perf_counter() - t0
+        out[f"{kind}_sweep_seconds"] = round(sweep_s, 3)
+        out[f"{kind}_signal_channel_first"] = bool(
+            int(np.argmax(res.total)) == 0
+        )
+    return out
+
+
 def config3_cnn(n=2048, epochs=8):
     """Config 3: ResNet-18-style CNN (C-channel stem) + occlusion channel
     importance."""
@@ -175,6 +223,7 @@ def config5_streaming(n=16384, shard=2048):
 
 CONFIGS = {
     1: config1_masked_extraction,
+    2: config2_importance,
     3: config3_cnn,
     4: config4_cytometry,
     5: config5_streaming,

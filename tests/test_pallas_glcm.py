@@ -48,6 +48,47 @@ def test_pallas_degenerate_channels():
     _assert_stats_equal(ref, got)
 
 
+OFFSETS = ((0, 5), (5, 0), (1, 1), (0, 1))
+
+
+def test_pallas_multi_offset_matches_single(small_batch):
+    """The fused multi-offset kernel must equal per-offset single passes."""
+    from tpumcia.features.pallas_glcm import sufficient_stats_pallas_multi
+
+    got = sufficient_stats_pallas_multi(
+        small_batch[:2], offsets=OFFSETS, interpret=True
+    )
+    assert len(got) == len(OFFSETS)
+    for offset, st in zip(OFFSETS, got):
+        ref = sufficient_stats(small_batch[:2], offset=offset)
+        _assert_stats_equal(ref, st)
+
+
+def test_pallas_multi_offset_masked(rng):
+    from tpumcia.features.pallas_glcm import sufficient_stats_pallas_multi
+
+    img = (rng.random((2, 32, 32, 2)) * 256).astype(np.uint8)
+    mask = rng.random((2, 32, 32, 2)) > 0.3
+    got = sufficient_stats_pallas_multi(
+        img, mask, offsets=OFFSETS[:2], interpret=True
+    )
+    for offset, st in zip(OFFSETS, got):
+        ref = sufficient_stats(img, mask, offset=offset)
+        _assert_stats_equal(ref, st)
+
+
+@pytest.mark.tpu
+def test_pallas_multi_offset_compiled_on_tpu(small_batch):
+    from tpumcia.features.pallas_glcm import sufficient_stats_pallas_multi
+    from tpumcia.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    got = sufficient_stats_pallas_multi(small_batch, offsets=OFFSETS[:2])
+    for offset, st in zip(OFFSETS, got):
+        ref = sufficient_stats(small_batch, offset=offset)
+        _assert_stats_equal(ref, st)
+
+
 @pytest.mark.tpu
 def test_pallas_compiled_on_tpu(small_batch):
     from tpumcia.utils.cache import enable_compilation_cache

@@ -171,19 +171,28 @@ def extract_features(
             else degenerate | np.asarray(done.degenerate)
         )
 
-    if len(offsets) > 1 and cfg.include_glcm and not use_pallas and mesh is None:
+    if len(offsets) > 1 and cfg.include_glcm and mesh is None:
         # fused multi-offset pass: the raw one-hot / histogram / rescale work
         # is shared across all offsets (skimage list API, ipynb:298)
-        all_stats = sufficient_stats_multi(
-            images, mask, levels=cfg.glcm.levels,
-            offsets=tuple(offsets), chunk_size=cfg.chunk_size,
-            onehot_dtype=cfg.onehot_dtype,
-            with_intensity=cfg.include_intensity,
-        )
+        if use_pallas:
+            from tpumcia.features.pallas_glcm import (
+                sufficient_stats_pallas_multi,
+            )
+
+            all_stats = sufficient_stats_pallas_multi(
+                images, mask, levels=cfg.glcm.levels, offsets=tuple(offsets)
+            )
+        else:
+            all_stats = sufficient_stats_multi(
+                images, mask, levels=cfg.glcm.levels,
+                offsets=tuple(offsets), chunk_size=cfg.chunk_size,
+                onehot_dtype=cfg.onehot_dtype,
+                with_intensity=cfg.include_intensity,
+            )
         for i, stats in enumerate(all_stats):
             add_block(stats, cfg.include_intensity and i == 0)
     else:
-        # one stats pass per offset (Pallas / sharded paths); intensity once
+        # one stats pass per offset (sharded path); intensity once
         for i, offset in enumerate(offsets):
             with_int = cfg.include_intensity and i == 0
             add_block(run_stats(offset, with_int, cfg.include_glcm), with_int)

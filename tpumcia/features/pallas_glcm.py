@@ -397,6 +397,341 @@ def _pallas_stats_core(img, w, lut, *, levels, offset, has_mask, interpret):
     )
 
 
+def _kernel_multi(
+    *refs,
+    levels: int,
+    num_chunks: int,
+    num_channels: int,
+    hw: int,
+    width: int,
+    windows: tuple[tuple[int, int, int, int], ...],
+    has_mask: bool,
+):
+    """Fused multi-offset variant: the raw stream, histogram, rescale
+    boundaries, LEFT one-hot, and left rescaled values are built once and
+    shared across offsets; each offset adds only its right-stream one-hot,
+    G matmul, marginal matvecs, and difference path. Pair validity folds
+    into the RIGHT stream as a -1 sentinel (the left one-hot stays unmasked
+    and shared), so the left marginal needs an explicit pair-weight matvec
+    (``pw @ oh_l``) while the right marginal is a plain ones-matvec over the
+    already-masked right one-hot.
+    """
+    O = len(windows)
+    if has_mask:
+        raw_ref = refs[0]
+        wi_ref = refs[1]
+        rsh_refs = refs[2 : 2 + O]
+        wsh_refs = refs[2 + O : 2 + 2 * O]
+        row_ref = refs[2 + 2 * O]
+        outs = refs[3 + 2 * O :]
+    else:
+        raw_ref = refs[0]
+        rsh_refs = refs[1 : 1 + O]
+        row_ref = refs[1 + O]
+        outs = refs[2 + O :]
+    hist_ref, count_ref = outs[0], outs[1]
+    marg_l_refs = outs[2 : 2 + O]
+    marg_r_refs = outs[2 + O : 2 + 2 * O]
+    diff_refs = outs[2 + 2 * O : 2 + 3 * O]
+    sumsq_refs = outs[2 + 3 * O : 2 + 4 * O]
+    pairs_refs = outs[2 + 4 * O : 2 + 5 * O]
+
+    L = levels
+    HI = L // 16
+    DHI = (2 * L) // 16
+    f32 = jnp.float32
+    i32 = jnp.int32
+    oh_t = jnp.int8 if _USE_INT8 else jnp.bfloat16
+    acc = jnp.int32 if _USE_INT8 else jnp.float32
+
+    iota_LL = jax.lax.broadcasted_iota(i32, (L, L), 0)
+    iota_hi = jax.lax.broadcasted_iota(i32, (HI, 1), 0)
+    iota_16 = jax.lax.broadcasted_iota(i32, (16, 1), 0)
+    iota_dhi = jax.lax.broadcasted_iota(i32, (DHI, 1), 0)
+    iota_lane = jax.lax.broadcasted_iota(i32, (1, L), 1)
+    hi_w = (iota_lane >> 4).astype(oh_t)
+    lo_w = (iota_lane & 15).astype(oh_t)
+    lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
+    ones_row = jnp.ones((1, raw_ref.shape[-1]), oh_t)
+
+    CH = raw_ref.shape[-1]
+    inb, inb_full, n_inb = [], [], []
+    valid = [[] for _ in range(O)]
+    n_valid = [0] * O
+    for k in range(num_chunks):
+        flat = lane + k * CH
+        row_i = flat // width
+        col_i = flat - row_i * width
+        inb.append(flat < hw)
+        inb_full.append((k + 1) * CH <= hw)
+        n_inb.append(max(0, min(hw - k * CH, CH)))
+        p = np.arange(k * CH, min((k + 1) * CH, hw))
+        ri, ci = p // width, p % width
+        for o, (r0, r1, c0, c1) in enumerate(windows):
+            valid[o].append(
+                (row_i >= r0) & (row_i < r1) & (col_i >= c0) & (col_i < c1)
+                & (flat < hw)
+            )
+            n_valid[o] += int(
+                np.sum((ri >= r0) & (ri < r1) & (ci >= c0) & (ci < c1))
+            )
+
+    for c in range(num_channels):
+        raw_all = raw_ref[0, c]
+        if has_mask:
+            wi_all = wi_ref[0, c] > 0
+
+        row = row_ref[0, c].astype(i32)
+        start = jnp.sum((row < iota_LL).astype(i32), axis=1, keepdims=True)
+        end = jnp.sum((row <= iota_LL).astype(i32), axis=1, keepdims=True)
+
+        hist16 = jnp.zeros((HI, 16), acc)
+        count = jnp.zeros((1, 1), f32)
+        dh16 = [jnp.zeros((DHI, 16), acc) for _ in range(O)]
+        pairs = [jnp.zeros((1, 1), f32) for _ in range(O)]
+        glcm = [jnp.zeros((L, L), acc) for _ in range(O)]
+        marg_l = [jnp.zeros((1, L), f32) for _ in range(O)]
+        marg_r = [jnp.zeros((1, L), f32) for _ in range(O)]
+
+        for k in range(num_chunks):
+            raw = raw_all[k : k + 1, :]
+            if has_mask:
+                wb = wi_all[k : k + 1, :] & inb[k]
+                count += jnp.sum(wb.astype(f32), axis=1, keepdims=True)
+            else:
+                wb = inb[k]
+
+            oh_hi = (raw >> 4) == iota_hi
+            if has_mask or not inb_full[k]:
+                oh_hi = oh_hi & wb
+            oh_hi = oh_hi.astype(oh_t)
+            oh_lo = ((raw & 15) == iota_16).astype(oh_t)
+            hist16 += _lanedot(oh_hi, oh_lo, acc)
+
+            # shared left side: unmasked rescaled one-hot + values
+            oh_l = ((raw >= start) & (raw < end)).astype(oh_t)
+            resc_l = (
+                jnp.dot(hi_w, oh_l, preferred_element_type=i32) * 16
+                + jnp.dot(lo_w, oh_l, preferred_element_type=i32)
+            )
+
+            for o in range(O):
+                rsh = rsh_refs[o][0, c][k : k + 1, :]
+                if has_mask:
+                    pwb = (
+                        wb & (wsh_refs[o][0, c][k : k + 1, :] > 0) & valid[o][k]
+                    )
+                    pairs[o] += jnp.sum(pwb.astype(f32), axis=1, keepdims=True)
+                else:
+                    pwb = valid[o][k]
+                rshm = jnp.where(pwb, rsh, -1)
+                oh_r = ((rshm >= start) & (rshm < end)).astype(oh_t)
+                glcm[o] += _lanedot(oh_l, oh_r, acc)
+                marg_l[o] += _lanedot(pwb.astype(oh_t), oh_l, acc).astype(f32)
+                marg_r[o] += _lanedot(ones_row, oh_r, acc).astype(f32)
+                resc_r = (
+                    jnp.dot(hi_w, oh_r, preferred_element_type=i32) * 16
+                    + jnp.dot(lo_w, oh_r, preferred_element_type=i32)
+                )
+                diff = resc_l - resc_r + (L - 1)
+                oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
+                oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
+                dh16[o] += _lanedot(oh_dhi, oh_dlo, acc)
+
+        if not has_mask:
+            count = jnp.full((1, 1), float(sum(n_inb)), f32)
+        hist_ref[0, c] = hist16.astype(i32)
+        count_ref[0, c] = count
+
+        iota4 = jax.lax.broadcasted_iota(i32, (1, 4), 1)
+
+        def _total(x):
+            return jnp.sum(
+                jnp.sum(x, axis=0, keepdims=True), axis=1, keepdims=True
+            )
+
+        for o in range(O):
+            g = glcm[o].astype(i32)
+            marg_l_refs[o][0, c] = marg_l[o]
+            marg_r_refs[o][0, c] = marg_r[o]
+            diff_refs[o][0, c] = dh16[o].astype(i32)
+            ga = g >> 12
+            gb = g & 4095
+            gbb = gb * gb
+            sumsq_refs[o][0, c] = (
+                _total(ga * ga) * (iota4 == 0)
+                + _total(ga * gb) * (iota4 == 1)
+                + _total(gbb >> 8) * (iota4 == 2)
+                + _total(gbb & 255) * (iota4 == 3)
+            )
+            pairs_refs[o][0, c] = (
+                pairs[o]
+                if has_mask
+                else jnp.full((1, 1), float(n_valid[o]), f32)
+            )
+
+
+def _shifted(flat, shift):
+    if shift >= 0:
+        return jnp.pad(flat[:, :, shift:], ((0, 0), (0, 0), (0, shift)))
+    return jnp.pad(flat[:, :, :shift], ((0, 0), (0, 0), (-shift, 0)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "offsets", "has_mask", "interpret")
+)
+def _pallas_stats_multi_core(img, w, lut, *, levels, offsets, has_mask,
+                             interpret):
+    """Multi-offset sibling of :func:`_pallas_stats_core` — one fused kernel
+    pass producing per-offset :class:`SuffStats` (stats.py's
+    ``sufficient_stats_multi`` contract, TPU path)."""
+    B, C, H, W = img.shape
+    L = levels
+    if L % 16:
+        raise ValueError("the fused kernel requires levels % 16 == 0")
+    HI = L // 16
+    DHI = (2 * L) // 16
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    windows, shifts = [], []
+    for dr, dc in offsets:
+        r0, r1 = max(0, -dr), H - max(0, dr)
+        c0, c1 = max(0, -dc), W - max(0, dc)
+        if r0 >= r1 or c0 >= c1:
+            raise ValueError(
+                f"GLCM offset {(dr, dc)} leaves no valid pairs for {H}x{W}"
+            )
+        windows.append((r0, r1, c0, c1))
+        shifts.append(dr * W + dc)
+
+    if has_mask:
+        vmax = jnp.max(jnp.where(w > 0, img, -1), axis=(2, 3)).astype(i32)
+    else:
+        vmax = jnp.max(img, axis=(2, 3)).astype(i32)
+    rows = jnp.take(lut.astype(f32), jnp.clip(vmax, 0, L - 1).reshape(-1), axis=0)
+    rows = rows.reshape(B, C, 1, L)
+
+    HW = H * W
+    CH = min(_CHUNK, max(128, HW))
+    K = -(-HW // CH)
+    total = K * CH
+
+    flat = img.reshape(B, C, HW).astype(i32)
+    inputs = [_flat_chunks(flat, total, K, CH)]
+    wi = (w > 0).reshape(B, C, HW).astype(i32) if has_mask else None
+    if has_mask:
+        inputs.append(_flat_chunks(wi, total, K, CH))
+    for s in shifts:
+        inputs.append(_flat_chunks(_shifted(flat, s), total, K, CH))
+    if has_mask:
+        for s in shifts:
+            inputs.append(_flat_chunks(_shifted(wi, s), total, K, CH))
+    inputs.append(rows)
+
+    O = len(offsets)
+    grid = (B,)
+    chunk_spec = pl.BlockSpec(
+        (1, C, K, CH), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    row_spec = pl.BlockSpec(
+        (1, C, 1, L), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    n_chunk_inputs = (2 + 2 * O) if has_mask else (1 + O)
+    in_specs = [chunk_spec] * n_chunk_inputs + [row_spec]
+    blk = lambda m, n: pl.BlockSpec(
+        (1, C, m, n), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    out_shapes = (
+        [jax.ShapeDtypeStruct((B, C, HI, 16), i32)]
+        + [jax.ShapeDtypeStruct((B, C, 1, 1), f32)]
+        + [jax.ShapeDtypeStruct((B, C, 1, L), f32)] * (2 * O)
+        + [jax.ShapeDtypeStruct((B, C, DHI, 16), i32)] * O
+        + [jax.ShapeDtypeStruct((B, C, 1, 4), i32)] * O
+        + [jax.ShapeDtypeStruct((B, C, 1, 1), f32)] * O
+    )
+    out_specs = (
+        [blk(HI, 16), blk(1, 1)]
+        + [blk(1, L)] * (2 * O)
+        + [blk(DHI, 16)] * O
+        + [blk(1, 4)] * O
+        + [blk(1, 1)] * O
+    )
+
+    kernel = functools.partial(
+        _kernel_multi,
+        levels=L,
+        num_chunks=K,
+        num_channels=C,
+        hw=HW,
+        width=W,
+        windows=tuple(windows),
+        has_mask=has_mask,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(*inputs)
+
+    hist16, count = outs[0], outs[1]
+    marg_l = outs[2 : 2 + O]
+    marg_r = outs[2 + O : 2 + 2 * O]
+    dh16 = outs[2 + 2 * O : 2 + 3 * O]
+    sumsq = outs[2 + 3 * O : 2 + 4 * O]
+    pairs = outs[2 + 4 * O : 2 + 5 * O]
+
+    hist = hist16.reshape(B, C, L).astype(f32)
+    return tuple(
+        SuffStats(
+            hist=hist,
+            count=count[:, :, 0, 0],
+            vmax=vmax,
+            marg_l=marg_l[o][:, :, 0, :],
+            marg_r=marg_r[o][:, :, 0, :],
+            diff_hist=dh16[o].reshape(B, C, 2 * L)[:, :, : 2 * L - 1].astype(f32),
+            glcm_sumsq=sumsq[o][:, :, 0, :],
+            pair_count=pairs[o][:, :, 0, 0],
+        )
+        for o in range(O)
+    )
+
+
+def sufficient_stats_pallas_multi(
+    images,
+    mask=None,
+    *,
+    levels: int = 256,
+    offsets: tuple[tuple[int, int], ...] = ((0, 5),),
+    interpret: bool = False,
+) -> tuple[SuffStats, ...]:
+    """Fused multi-offset Pallas pass (TPU sibling of
+    ``stats.sufficient_stats_multi``): the raw histogram, rescale
+    boundaries, and left one-hots are computed once and shared across all
+    (distance, angle) offsets (skimage list API, ipynb:298)."""
+    lut = jnp.asarray(rescale_lut(levels))
+    offsets = tuple(tuple(o) for o in offsets)
+    if mask is None:
+        images = jnp.asarray(images)
+        img = jnp.transpose(images, (0, 3, 1, 2)).astype(jnp.int32)
+        return _pallas_stats_multi_core(
+            img, None, lut, levels=levels, offsets=offsets,
+            has_mask=False, interpret=interpret,
+        )
+    img, w = _prep_inputs(images, mask)
+    return _pallas_stats_multi_core(
+        img, w, lut, levels=levels, offsets=offsets,
+        has_mask=True, interpret=interpret,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "offset", "interpret"))
 def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False):
     """Back-compat wrapper taking an explicit (B, C, H, W) weight array (the
