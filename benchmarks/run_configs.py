@@ -72,7 +72,16 @@ def config2_importance(n=12000, n_repeats=10):
     imgs = np.asarray(
         add_noise_channels(jax.device_put(gray), jax.random.key(0))
     )
-    fm = extract_features(imgs)
+    # batch the (untimed) extraction at the bench batch size to reuse the
+    # cached kernel shape; the timed section is the importance sweep
+    B = 2048
+    pad = (-len(imgs)) % B
+    padded = np.concatenate([imgs, imgs[:pad]]) if pad else imgs
+    fms = [
+        extract_features(padded[s : s + B]) for s in range(0, len(padded), B)
+    ]
+    fm = fms[0]
+    fm.values = np.concatenate([np.asarray(f.values) for f in fms])[: len(imgs)]
     X = np.nan_to_num(np.asarray(fm.values, np.float32))
     split = train_test_split_indices(len(X), test_size=0.25, seed=0,
                                      stratify=labels)
