@@ -32,6 +32,7 @@ def test_pallas_masked(rng):
     _assert_stats_equal(ref, got)
 
 
+@pytest.mark.slow
 def test_pallas_nondefault_offset(rng):
     img = (rng.random((2, 24, 24, 1)) * 256).astype(np.uint8)
     for offset in [(0, 1), (3, 0), (2, 2)]:
@@ -56,9 +57,21 @@ def test_pallas_multi_offset_matches_single(small_batch):
     from tpumcia.features.pallas_glcm import sufficient_stats_pallas_multi
 
     got = sufficient_stats_pallas_multi(
+        small_batch[:2], offsets=OFFSETS[:2], interpret=True
+    )
+    assert len(got) == 2
+    for offset, st in zip(OFFSETS, got):
+        ref = sufficient_stats(small_batch[:2], offset=offset)
+        _assert_stats_equal(ref, st)
+
+
+@pytest.mark.slow
+def test_pallas_multi_offset_matches_single_all(small_batch):
+    from tpumcia.features.pallas_glcm import sufficient_stats_pallas_multi
+
+    got = sufficient_stats_pallas_multi(
         small_batch[:2], offsets=OFFSETS, interpret=True
     )
-    assert len(got) == len(OFFSETS)
     for offset, st in zip(OFFSETS, got):
         ref = sufficient_stats(small_batch[:2], offset=offset)
         _assert_stats_equal(ref, st)
