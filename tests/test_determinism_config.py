@@ -79,6 +79,15 @@ def test_config_json_roundtrip(tmp_path):
     assert loaded == cfg
 
 
+def test_config_rejects_unknown_keys():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown config key"):
+        PipelineConfig.from_dict({"nonexistent_field": 3})
+    with pytest.raises(ValueError, match="config.features"):
+        PipelineConfig.from_dict({"features": {"precison": "hybrid"}})
+
+
 def test_config_defaults_mirror_notebook():
     """The defaults are the notebook's literals (SURVEY.md §5)."""
     cfg = PipelineConfig()

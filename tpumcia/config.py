@@ -170,16 +170,27 @@ class PipelineConfig:
 
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> "PipelineConfig":
-        def build(tp, d):
+        def build(tp, d, path="config"):
             if not dataclasses.is_dataclass(tp):
                 return d
+            known = {f.name for f in dataclasses.fields(tp)}
+            unknown = set(d) - known
+            if unknown:
+                raise ValueError(
+                    f"unknown {path} key(s) {sorted(unknown)}; "
+                    f"valid keys: {sorted(known)}"
+                )
             kwargs = {}
             for f in dataclasses.fields(tp):
                 if f.name in d:
                     val = d[f.name]
                     if isinstance(val, dict):
                         sub_tp = _SUBTYPES.get(f.name)
-                        kwargs[f.name] = build(sub_tp, val) if sub_tp else val
+                        kwargs[f.name] = (
+                            build(sub_tp, val, f"{path}.{f.name}")
+                            if sub_tp
+                            else val
+                        )
                     elif isinstance(val, list):
                         # JSON has no tuples; all sequence-valued config
                         # fields are tuples (hidden, distances, angles)

@@ -87,11 +87,13 @@ def main(argv=None) -> int:
 
     if args.config and not Path(args.config).exists():
         p.error(f"config file not found: {args.config}")
-    cfg = (
-        PipelineConfig.from_json(args.config)
-        if args.config
-        else PipelineConfig()
-    )
+    if args.config:
+        try:
+            cfg = PipelineConfig.from_json(args.config)
+        except (ValueError, TypeError, KeyError) as e:
+            p.error(f"invalid config {args.config}: {e}")
+    else:
+        cfg = PipelineConfig()
     if args.source in ("h5", "folder") and not args.data:
         p.error(f"--data is required for source={args.source}")
 
