@@ -162,11 +162,14 @@ def fit_cnn(
     num_classes = cfg.num_classes
     data_shard = NamedSharding(mesh, P("data")) if mesh is not None else None
 
-    # Epoch data is staged on device ONCE; each step gathers its batch on
-    # device (no per-step host slicing / H2D copies). The epoch order is
-    # padded with wrap-around samples to a multiple of batch_size so every
-    # sample trains each epoch at a fixed batch shape (one compiled step) —
-    # the tail batch is no longer dropped.
+    # Epoch data is staged on device ONCE, and each epoch is ONE dispatch:
+    # a lax.scan over the (steps, batch) gather-index array. Per-step Python
+    # dispatch + a blocking loss fetch used to cost a full device-link round
+    # trip per step (~60 s for 64 steps through the remote tunnel); the scan
+    # brings an epoch to one dispatch + one small losses fetch. The epoch
+    # order is padded with wrap-around samples to a multiple of batch_size
+    # so every sample trains each epoch at one compiled shape — the tail
+    # batch is not dropped.
     def gather_step(params, opt_state, images_all, y_all, idx):
         xb = jnp.take(images_all, idx, axis=0)
         yb = jnp.take(y_all, idx, axis=0)
@@ -175,15 +178,25 @@ def fit_cnn(
             yb = jax.lax.with_sharding_constraint(yb, data_shard)
         return step(params, opt_state, xb, yb)
 
+    @jax.jit
+    def epoch_fn(params, opt_state, images_all, y_all, idx_all):
+        def body(carry, idx):
+            params, opt_state = carry
+            params, opt_state, loss = gather_step(
+                params, opt_state, images_all, y_all, idx
+            )
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), idx_all
+        )
+        return params, opt_state, losses
+
     if mesh is not None:
-        p_shard = _param_sharding(params, mesh)
         # params/opt-state shardings are seeded by the device_put below and
         # then propagated by jit; epoch data stays replicated, each gathered
         # batch is constrained onto the data axis.
-        gather_step = jax.jit(gather_step)
-        params = jax.device_put(params, p_shard)
-    else:
-        gather_step = jax.jit(gather_step)
+        params = jax.device_put(params, _param_sharding(params, mesh))
 
     n = len(images)
     bs = min(cfg.batch_size, n)
@@ -197,14 +210,11 @@ def fit_cnn(
         pad = steps_per_epoch * bs - n
         if pad:
             order = np.concatenate([order, order[:pad]])
-        losses = []
-        for s in range(steps_per_epoch):
-            idx = jnp.asarray(order[s * bs : (s + 1) * bs])
-            params, opt_state, loss = gather_step(
-                params, opt_state, images_all, y_all, idx
-            )
-            losses.append(float(loss))
-        entry = {"epoch": epoch, "loss": float(np.mean(losses))}
+        idx_all = jnp.asarray(order.reshape(steps_per_epoch, bs))
+        params, opt_state, losses = epoch_fn(
+            params, opt_state, images_all, y_all, idx_all
+        )
+        entry = {"epoch": epoch, "loss": float(jnp.mean(losses))}
         if images_eval is not None:
             head = CNNHead(model=model, params=params, classes=classes, mesh=mesh,
                            config=cfg)
