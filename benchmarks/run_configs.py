@@ -121,21 +121,34 @@ def config3_cnn(n=2048, epochs=8):
     from tpumcia.preprocess.synth import add_noise_channels
     import jax
 
+    import jax.numpy as jnp
+
     gray, labels, _ = synthetic_mednist(n // 6 + 1, num_classes=6, seed=0)
     gray = gray[:n]
     labels = labels[:n]
-    imgs = np.asarray(add_noise_channels(jax.device_put(gray), jax.random.key(0)))
-    x = imgs.astype(np.float32) / 255.0
+    # stage once on device: the timed sections measure train/occlusion
+    # compute, not the 100 MB H2D upload through the remote link
+    x = add_noise_channels(jax.device_put(gray), jax.random.key(0)).astype(
+        jnp.float32
+    ) / 255.0
+    x_occ = x[:512]
 
     cfg = CNNConfig(
         num_classes=6, depth="18", width=32, epochs=epochs, batch_size=256
     )
+    # warm-up: traces + compiles at the exact shapes (jits in the train and
+    # occlusion paths are cache-stable across calls)
+    warm = fit_cnn(x, labels, config=CNNConfig(
+        num_classes=6, depth="18", width=32, epochs=1, batch_size=256
+    ))
+    channel_occlusion_importance(warm, x_occ, labels[:512])
+
     t0 = time.perf_counter()
     head = fit_cnn(x, labels, config=cfg)
     train_s = time.perf_counter() - t0
     acc = head.score(x, labels)
     t0 = time.perf_counter()
-    occ_vals = np.asarray(channel_occlusion_importance(head, x[:512], labels[:512]))
+    occ_vals = np.asarray(channel_occlusion_importance(head, x_occ, labels[:512]))
     occ_s = time.perf_counter() - t0
     return {
         "config": 3,

@@ -10,6 +10,11 @@ Three probes over a trained image classifier:
   distribution); the pixel-space analogue of the feature permutation sweep.
 * ``occlusion_map`` — slide a zero window over the image; per-position drop
   in the true-class probability gives a spatial saliency map per image.
+
+All sweeps are module-level jits taking the head's ``apply_fn`` (a
+``jax.tree_util.Partial`` with stable function identity) as an argument, so
+repeated calls — and warm-up/timed benchmark splits — reuse one trace
+instead of retracing the CNN per call.
 """
 
 from __future__ import annotations
@@ -26,30 +31,59 @@ def _labels_to_idx(classes, y):
     return jnp.asarray(np.array([lookup[v] for v in np.asarray(y)], np.int32))
 
 
-def channel_occlusion_importance(head, images, y, *, fill: float = 0.0) -> np.ndarray:
-    """(C,) accuracy drops when each channel is replaced by ``fill``."""
-    apply_fn = head.apply_fn()
-    x = jnp.asarray(images, jnp.float32)
-    y_idx = _labels_to_idx(head.classes, y)
+@jax.jit
+def _occlusion_sweep(apply_fn, x, y_idx, fill):
     C = x.shape[-1]
 
-    @jax.jit
-    def run(x):
-        def acc(xp):
-            pred = jnp.argmax(apply_fn(xp), axis=-1)
-            return jnp.mean((pred == y_idx).astype(jnp.float32))
+    def acc(xp):
+        pred = jnp.argmax(apply_fn(xp), axis=-1)
+        return jnp.mean((pred == y_idx).astype(jnp.float32))
 
-        baseline = acc(x)
+    baseline = acc(x)
 
-        def occlude(c):
-            mask = (jnp.arange(C) == c).astype(x.dtype)
-            return acc(x * (1 - mask) + fill * mask)
+    def occlude(c):
+        mask = (jnp.arange(C) == c).astype(x.dtype)
+        return acc(x * (1 - mask) + fill * mask)
 
-        drops = jax.lax.map(occlude, jnp.arange(C))
-        return baseline, baseline - drops
+    drops = jax.lax.map(occlude, jnp.arange(C))
+    return baseline, baseline - drops
 
-    baseline, drops = run(x)
+
+def channel_occlusion_importance(head, images, y, *, fill: float = 0.0) -> np.ndarray:
+    """(C,) accuracy drops when each channel is replaced by ``fill``."""
+    x = jnp.asarray(images, jnp.float32)
+    y_idx = _labels_to_idx(head.classes, y)
+    baseline, drops = _occlusion_sweep(
+        head.apply_fn(), x, y_idx, jnp.float32(fill)
+    )
     return np.asarray(drops, np.float64)
+
+
+@functools.partial(jax.jit, static_argnames=("n_repeats",))
+def _channel_perm_sweep(apply_fn, x, y_idx, key, *, n_repeats):
+    B = x.shape[0]
+    C = x.shape[-1]
+
+    def acc(xp):
+        pred = jnp.argmax(apply_fn(xp), axis=-1)
+        return jnp.mean((pred == y_idx).astype(jnp.float32))
+
+    baseline = acc(x)
+    keys = jax.random.split(key, C * n_repeats).reshape(C, n_repeats)
+
+    def one_channel(args):
+        c, kc = args
+        mask = (jnp.arange(C) == c).astype(x.dtype)
+
+        def one_repeat(k):
+            perm = jax.random.permutation(k, B)
+            xp = x * (1 - mask) + jnp.take(x, perm, axis=0) * mask
+            return acc(xp)
+
+        return jax.lax.map(one_repeat, kc)
+
+    drops = jax.lax.map(one_channel, (jnp.arange(C), keys))
+    return baseline, baseline - drops
 
 
 def channel_permutation_importance_images(
@@ -57,36 +91,31 @@ def channel_permutation_importance_images(
 ) -> np.ndarray:
     """(C, R) accuracy drops when channel c's planes are shuffled across the
     batch (each repeat a fresh permutation)."""
-    apply_fn = head.apply_fn()
     x = jnp.asarray(images, jnp.float32)
     y_idx = _labels_to_idx(head.classes, y)
-    B, H, W, C = x.shape
-
-    @functools.partial(jax.jit, static_argnames=("n_repeats",))
-    def run(x, key, *, n_repeats):
-        def acc(xp):
-            pred = jnp.argmax(apply_fn(xp), axis=-1)
-            return jnp.mean((pred == y_idx).astype(jnp.float32))
-
-        baseline = acc(x)
-        keys = jax.random.split(key, C * n_repeats).reshape(C, n_repeats)
-
-        def one_channel(args):
-            c, kc = args
-            mask = (jnp.arange(C) == c).astype(x.dtype)
-
-            def one_repeat(k):
-                perm = jax.random.permutation(k, B)
-                xp = x * (1 - mask) + jnp.take(x, perm, axis=0) * mask
-                return acc(xp)
-
-            return jax.lax.map(one_repeat, kc)
-
-        drops = jax.lax.map(one_channel, (jnp.arange(C), keys))
-        return baseline, baseline - drops
-
-    baseline, drops = run(x, jax.random.key(seed), n_repeats=n_repeats)
+    baseline, drops = _channel_perm_sweep(
+        head.apply_fn(), x, y_idx, jax.random.key(seed), n_repeats=n_repeats
+    )
     return np.asarray(drops, np.float64)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _occlusion_map_sweep(apply_fn, x, y_idx, positions, fill, *, window):
+    H, W = x.shape[1], x.shape[2]
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    probs = jax.nn.softmax(apply_fn(x), axis=-1)
+    base = jnp.take_along_axis(probs, y_idx[:, None], axis=1)[:, 0]  # (B,)
+
+    def occlude(pos):
+        r, c = pos[0], pos[1]
+        m = (yy >= r) & (yy < r + window) & (xx >= c) & (xx < c + window)
+        m = m[None, :, :, None].astype(x.dtype)
+        xp = x * (1 - m) + fill * m
+        p = jax.nn.softmax(apply_fn(xp), axis=-1)
+        return base - jnp.take_along_axis(p, y_idx[:, None], axis=1)[:, 0]
+
+    return jax.lax.map(occlude, positions)  # (P, B)
 
 
 def occlusion_map(
@@ -95,7 +124,6 @@ def occlusion_map(
     """(B, ceil(H/stride), ceil(W/stride)) map of true-class probability drops
     when a ``window`` x ``window`` patch (all channels) is filled at each grid
     position."""
-    apply_fn = head.apply_fn()
     x = jnp.asarray(images, jnp.float32)
     y_idx = _labels_to_idx(head.classes, y)
     B, H, W, C = x.shape
@@ -103,23 +131,10 @@ def occlusion_map(
     cols = list(range(0, W - window + 1, stride)) or [0]
     positions = jnp.asarray([(r, c) for r in rows for c in cols], jnp.int32)
 
-    yy = jnp.arange(H)[:, None]
-    xx = jnp.arange(W)[None, :]
-
-    @jax.jit
-    def run(x):
-        probs = jax.nn.softmax(apply_fn(x), axis=-1)
-        base = jnp.take_along_axis(probs, y_idx[:, None], axis=1)[:, 0]  # (B,)
-
-        def occlude(pos):
-            r, c = pos[0], pos[1]
-            m = ((yy >= r) & (yy < r + window) & (xx >= c) & (xx < c + window))
-            m = m[None, :, :, None].astype(x.dtype)
-            xp = x * (1 - m) + fill * m
-            p = jax.nn.softmax(apply_fn(xp), axis=-1)
-            return base - jnp.take_along_axis(p, y_idx[:, None], axis=1)[:, 0]
-
-        return jax.lax.map(occlude, positions)  # (P, B)
-
-    drops = np.asarray(run(x))  # (P, B)
+    drops = np.asarray(
+        _occlusion_map_sweep(
+            head.apply_fn(), x, y_idx, positions, jnp.float32(fill),
+            window=window,
+        )
+    )  # (P, B)
     return drops.T.reshape(B, len(rows), len(cols))

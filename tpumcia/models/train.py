@@ -9,6 +9,7 @@ scales with channel/class count). XLA inserts the gradient psum over ICI
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -51,6 +52,24 @@ def _param_sharding(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+@functools.lru_cache(maxsize=16)
+def _model_apply_for(model: ResNet):
+    """Stable-identity apply closure per model config (ResNet is a frozen
+    dataclass, so identical configs hit the cache). jits keyed on a
+    ``Partial`` over this closure cache across CNNHead instances — a fresh
+    closure per call would retrace every sweep."""
+
+    def f(params, x):
+        return model.apply({"params": params}, x)
+
+    return f
+
+
+@jax.jit
+def _apply_logits(apply_fn, x):
+    return apply_fn(x)
+
+
 @dataclass
 class CNNHead:
     model: ResNet
@@ -63,16 +82,12 @@ class CNNHead:
     is_device: bool = True
 
     def apply_fn(self):
-        model = self.model
-        params = self.params
+        from jax.tree_util import Partial
 
-        def f(x):
-            return model.apply({"params": params}, x)
-
-        return f
+        return Partial(_model_apply_for(self.model), self.params)
 
     def predict_logits(self, images) -> jax.Array:
-        return self.apply_fn()(jnp.asarray(images, jnp.float32))
+        return _apply_logits(self.apply_fn(), jnp.asarray(images, jnp.float32))
 
     def predict_proba(self, images) -> jax.Array:
         return jax.nn.softmax(self.predict_logits(images), axis=-1)
@@ -131,6 +146,40 @@ def make_train_step(model: ResNet, tx):
     return step
 
 
+@functools.lru_cache(maxsize=16)
+def _build_train(model: ResNet, learning_rate: float, weight_decay: float):
+    """(tx, step) with stable identity per (model config, optimizer config) —
+    the jit on :func:`_epoch_fn` keys on ``step``, so repeated ``fit_cnn``
+    calls (and the warm-up/timed split in benchmarks) reuse one trace.
+    Tracing the ResNet backward scan costs tens of seconds on a slow host."""
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    return tx, make_train_step(model, tx)
+
+
+@functools.partial(jax.jit, static_argnames=("step", "data_shard"))
+def _epoch_fn(params, opt_state, images_all, y_all, idx_all, *, step,
+              data_shard):
+    """One epoch = ONE dispatch: a lax.scan over the (steps, batch) gather
+    indices. Per-step Python dispatch + a blocking loss fetch would cost a
+    device-link round trip per step; here the whole epoch runs device-side
+    with one small losses fetch."""
+
+    def body(carry, idx):
+        params, opt_state = carry
+        xb = jnp.take(images_all, idx, axis=0)
+        yb = jnp.take(y_all, idx, axis=0)
+        if data_shard is not None:
+            xb = jax.lax.with_sharding_constraint(xb, data_shard)
+            yb = jax.lax.with_sharding_constraint(yb, data_shard)
+        params, opt_state, loss = step(params, opt_state, xb, yb)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        body, (params, opt_state), idx_all
+    )
+    return params, opt_state, losses
+
+
 def fit_cnn(
     images,
     labels,
@@ -146,51 +195,23 @@ def fit_cnn(
     labels = np.asarray(labels)
     classes, y_idx = np.unique(labels, return_inverse=True)
     cfg = config or CNNConfig(num_classes=len(classes))
-    images = np.asarray(images)
-    if images.dtype.kind in "ui":
-        images = images.astype(np.float32) / 255.0
+    # keep device arrays resident (np.asarray on a device array would drag
+    # 100s of MB through the link); normalise integer inputs on device
+    images_all = jnp.asarray(images)
+    if jnp.issubdtype(images_all.dtype, jnp.integer):
+        images_all = images_all.astype(jnp.float32) / 255.0
+    else:
+        images_all = images_all.astype(jnp.float32)
 
     model = make_resnet(cfg.num_classes, width=cfg.width, depth=cfg.depth)
     rng = jax.random.key(cfg.seed)
-    params = model.init(rng, jnp.zeros((1,) + images.shape[1:], jnp.float32))[
-        "params"
-    ]
-    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    params = model.init(
+        rng, jnp.zeros((1,) + images_all.shape[1:], jnp.float32)
+    )["params"]
+    tx, step = _build_train(model, cfg.learning_rate, cfg.weight_decay)
     opt_state = tx.init(params)
-    step = make_train_step(model, tx)
 
-    num_classes = cfg.num_classes
     data_shard = NamedSharding(mesh, P("data")) if mesh is not None else None
-
-    # Epoch data is staged on device ONCE, and each epoch is ONE dispatch:
-    # a lax.scan over the (steps, batch) gather-index array. Per-step Python
-    # dispatch + a blocking loss fetch used to cost a full device-link round
-    # trip per step (~60 s for 64 steps through the remote tunnel); the scan
-    # brings an epoch to one dispatch + one small losses fetch. The epoch
-    # order is padded with wrap-around samples to a multiple of batch_size
-    # so every sample trains each epoch at one compiled shape — the tail
-    # batch is not dropped.
-    def gather_step(params, opt_state, images_all, y_all, idx):
-        xb = jnp.take(images_all, idx, axis=0)
-        yb = jnp.take(y_all, idx, axis=0)
-        if data_shard is not None:
-            xb = jax.lax.with_sharding_constraint(xb, data_shard)
-            yb = jax.lax.with_sharding_constraint(yb, data_shard)
-        return step(params, opt_state, xb, yb)
-
-    @jax.jit
-    def epoch_fn(params, opt_state, images_all, y_all, idx_all):
-        def body(carry, idx):
-            params, opt_state = carry
-            params, opt_state, loss = gather_step(
-                params, opt_state, images_all, y_all, idx
-            )
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), idx_all
-        )
-        return params, opt_state, losses
 
     if mesh is not None:
         # params/opt-state shardings are seeded by the device_put below and
@@ -198,12 +219,14 @@ def fit_cnn(
         # batch is constrained onto the data axis.
         params = jax.device_put(params, _param_sharding(params, mesh))
 
-    n = len(images)
+    # The epoch order is padded with wrap-around samples to a multiple of
+    # batch_size so every sample trains each epoch at one compiled shape —
+    # the tail batch is not dropped.
+    n = images_all.shape[0]
     bs = min(cfg.batch_size, n)
     steps_per_epoch = -(-n // bs)
     rng_np = np.random.default_rng(cfg.seed)
-    images_all = jnp.asarray(images, jnp.float32)
-    y_all = jax.nn.one_hot(jnp.asarray(y_idx), num_classes)
+    y_all = jax.nn.one_hot(jnp.asarray(y_idx), cfg.num_classes)
     history = []
     for epoch in range(cfg.epochs):
         order = rng_np.permutation(n)
@@ -211,8 +234,9 @@ def fit_cnn(
         if pad:
             order = np.concatenate([order, order[:pad]])
         idx_all = jnp.asarray(order.reshape(steps_per_epoch, bs))
-        params, opt_state, losses = epoch_fn(
-            params, opt_state, images_all, y_all, idx_all
+        params, opt_state, losses = _epoch_fn(
+            params, opt_state, images_all, y_all, idx_all,
+            step=step, data_shard=data_shard,
         )
         entry = {"epoch": epoch, "loss": float(jnp.mean(losses))}
         if images_eval is not None:
