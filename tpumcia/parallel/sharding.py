@@ -40,6 +40,50 @@ def _pad_to_multiple(arr, m: int):
     return jnp.concatenate([arr, pad_block], axis=0), b
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_stats_fn(
+    mesh, levels, offset, chunk_size, onehot_dtype, pallas,
+    with_intensity, with_glcm,
+):
+    """Jitted (img, w, lut) -> sharded SuffStats, cached per (mesh, config)
+    so repeated calls reuse one trace (a per-call shard_map closure would
+    retrace every time — expensive on a slow host)."""
+    if pallas:
+        from tpumcia.features.pallas_glcm import _pallas_stats_jit
+
+        def local(img_l, w_l, lut):
+            return _pallas_stats_jit(img_l, w_l, lut, levels=levels,
+                                     offset=offset)
+
+    else:
+
+        def local(img_l, w_l, lut):
+            one = functools.partial(
+                _single_image_stats,
+                lut=lut,
+                levels=levels,
+                offset=offset,
+                onehot_dtype=jnp.dtype(onehot_dtype),
+                with_intensity=with_intensity,
+                with_glcm=with_glcm,
+            )
+            bs = min(chunk_size, img_l.shape[0])
+            return jax.lax.map(
+                lambda xw: one(xw[0], xw[1]), (img_l, w_l), batch_size=bs
+            )
+
+    spec_in = P("data")
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_in, spec_in, P()),
+        out_specs=SuffStats(*([spec_in] * len(SuffStats._fields))),
+        # pallas_call's out_shape structs carry no vma annotation
+        check_vma=not pallas,
+    )
+    return jax.jit(fn)
+
+
 def sufficient_stats_sharded(
     images,
     mask=None,
@@ -66,40 +110,11 @@ def sufficient_stats_sharded(
     on_tpu = mesh.devices.flatten()[0].platform == "tpu"
     pallas = use_pallas == "always" or (use_pallas == "auto" and on_tpu)
 
-    if pallas:
-        from tpumcia.features.pallas_glcm import _pallas_stats_jit
-
-        def local(img_l, w_l):
-            return _pallas_stats_jit(img_l, w_l, lut, levels=levels,
-                                     offset=offset)
-
-    else:
-        one = functools.partial(
-            _single_image_stats,
-            lut=lut,
-            levels=levels,
-            offset=offset,
-            onehot_dtype=jnp.dtype(onehot_dtype),
-            with_intensity=with_intensity,
-            with_glcm=with_glcm,
-        )
-
-        def local(img_l, w_l):
-            bs = min(chunk_size, img_l.shape[0])
-            return jax.lax.map(
-                lambda xw: one(xw[0], xw[1]), (img_l, w_l), batch_size=bs
-            )
-
-    spec_in = P("data")
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec_in, spec_in),
-        out_specs=SuffStats(*([spec_in] * len(SuffStats._fields))),
-        # pallas_call's out_shape structs carry no vma annotation
-        check_vma=not pallas,
+    fn = _sharded_stats_fn(
+        mesh, levels, tuple(offset), chunk_size, onehot_dtype, pallas,
+        with_intensity, with_glcm,
     )
-    stats = jax.jit(fn)(img, w)
+    stats = fn(img, w, lut)
     return SuffStats(*(s[:orig_b] for s in stats))
 
 
@@ -130,6 +145,20 @@ def extract_features_sharded(
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_minmax_fn(mesh):
+    def local(xs):
+        lo = jnp.min(xs, axis=0, keepdims=True)
+        hi = jnp.max(xs, axis=0, keepdims=True)
+        lo = jax.lax.pmin(lo, "data")
+        hi = jax.lax.pmax(hi, "data")
+        return lo, hi
+
+    return jax.jit(
+        shard_map(local, mesh=mesh, in_specs=(P("data"),), out_specs=(P(), P()))
+    )
+
+
 def fit_scaler_sharded(X, *, mesh: Mesh) -> MinMaxScaler:
     """Global per-feature min/max over a data-sharded matrix, reduced with
     collectives over the mesh (the multi-device MinMaxScaler fit)."""
@@ -140,17 +169,7 @@ def fit_scaler_sharded(X, *, mesh: Mesh) -> MinMaxScaler:
     if Xp.shape[0] != orig:
         Xp = Xp.at[orig:].set(Xp[0])
 
-    def local(xs):
-        lo = jnp.min(xs, axis=0, keepdims=True)
-        hi = jnp.max(xs, axis=0, keepdims=True)
-        lo = jax.lax.pmin(lo, "data")
-        hi = jax.lax.pmax(hi, "data")
-        return lo, hi
-
-    fn = shard_map(
-        local, mesh=mesh, in_specs=(P("data"),), out_specs=(P(), P())
-    )
-    lo, hi = jax.jit(fn)(Xp)
+    lo, hi = _sharded_minmax_fn(mesh)(Xp)
     return MinMaxScaler.from_stats(lo[0], hi[0])
 
 
@@ -190,11 +209,34 @@ def permutation_importance_sharded(
     keys = jax.random.split(jax.random.key(seed), masks_p.shape[0] * n_repeats)
     keys = keys.reshape(masks_p.shape[0], n_repeats)
 
-    def accuracy(Xp):
-        pred = jnp.argmax(apply_fn(Xp), axis=-1)
-        return jnp.mean((pred == y_idx).astype(jnp.float32))
+    scores = _sharded_sweep_fn(mesh)(masks_p, keys, X, y_idx, apply_fn)[:G]
+    baseline = float(_accuracy_jit(apply_fn, X, y_idx))
+    imp = baseline - np.asarray(scores, np.float64)
+    return PermutationResult(
+        importances=imp,
+        importances_mean=imp.mean(axis=1),
+        importances_std=imp.std(axis=1),
+        baseline_score=baseline,
+    )
 
-    def local(masks_l, keys_l):
+
+@jax.jit
+def _accuracy_jit(apply_fn, X, y_idx):
+    pred = jnp.argmax(apply_fn(X), axis=-1)
+    return jnp.mean((pred == y_idx).astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_sweep_fn(mesh):
+    """Jitted sharded (group, repeat) sweep, cached per mesh; X / labels /
+    the head's ``Partial`` apply function are replicated shard_map inputs,
+    so one trace serves every head with the same pytree structure."""
+
+    def local(masks_l, keys_l, X, y_idx, apply_fn):
+        def accuracy(Xp):
+            pred = jnp.argmax(apply_fn(Xp), axis=-1)
+            return jnp.mean((pred == y_idx).astype(jnp.float32))
+
         def one_group(args):
             mask, kg = args
 
@@ -207,15 +249,14 @@ def permutation_importance_sharded(
 
         return jax.lax.map(one_group, (masks_l, keys_l))
 
-    fn = shard_map(
-        local, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data")
-    )
-    scores = jax.jit(fn)(masks_p, keys)[:G]
-    baseline = float(accuracy(X))
-    imp = baseline - np.asarray(scores, np.float64)
-    return PermutationResult(
-        importances=imp,
-        importances_mean=imp.mean(axis=1),
-        importances_std=imp.std(axis=1),
-        baseline_score=baseline,
-    )
+    def wrapped(masks_p, keys, X, y_idx, apply_fn):
+        apply_specs = jax.tree.map(lambda _: P(), apply_fn)
+        fn = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("data"), P("data"), P(), P(), apply_specs),
+            out_specs=P("data"),
+        )
+        return fn(masks_p, keys, X, y_idx, apply_fn)
+
+    return jax.jit(wrapped)
