@@ -68,6 +68,27 @@ def test_rf_head_and_device_forest_agree(blobs):
     np.testing.assert_array_equal(dev.predict(X), head.predict(X))
 
 
+def test_device_forest_gemm_matches_lockstep(blobs):
+    """The GEMM formulation (path-matrix matmuls) must agree exactly with the
+    lock-step descent, and with sklearn to f32 rounding."""
+    from tpumcia.models.forest_device import _forest_proba, _forest_proba_gemm
+
+    X, y = blobs
+    head = fit_head(X, y, config=HeadConfig(kind="random_forest", n_estimators=20))
+    dev = head.to_device()
+    assert dev.gemm is not None  # compact forest -> GEMM path active
+    Xs = dev._prep(X)
+    p_lock = np.asarray(
+        _forest_proba(Xs, dev.feature, dev.threshold, dev.left, dev.right,
+                      dev.leaf_proba, depth=dev.depth)
+    )
+    p_gemm = np.asarray(_forest_proba_gemm(Xs, *dev.gemm))
+    np.testing.assert_array_equal(p_gemm, p_lock)
+    np.testing.assert_allclose(
+        p_gemm, head.predict_proba(X), atol=1e-6
+    )
+
+
 def test_rf_seeded_deterministic(blobs):
     X, y = blobs
     cfg = HeadConfig(kind="random_forest", n_estimators=10, seed=3)

@@ -59,6 +59,15 @@ def _scaled_forest_apply(feature, threshold, left, right, leaf_proba, dmin,
     )
 
 
+def _scaled_forest_apply_gemm(g_feature, g_threshold, A, target, g_leaf_proba,
+                              dmin, dscale, X):
+    from tpumcia.models.forest_device import _forest_proba_gemm_impl
+
+    return _forest_proba_gemm_impl(
+        (X - dmin) * dscale, g_feature, g_threshold, A, target, g_leaf_proba
+    )
+
+
 def _device_score_parts(head):
     """(apply_fn, classes) for device-capable heads. ``apply_fn`` is a
     ``jax.tree_util.Partial`` over module-level functions with array leaves,
@@ -93,6 +102,13 @@ def _device_score_parts(head):
         )
     if isinstance(head, DeviceForest):
         dmin, dscale = scale_args(head.scaler, 1)
+        if head.gemm is not None:
+            return (
+                Partial(
+                    _scaled_forest_apply_gemm, *head.gemm, dmin, dscale
+                ),
+                head.classes,
+            )
         return (
             Partial(
                 _scaled_forest_apply,
