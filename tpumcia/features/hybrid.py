@@ -279,14 +279,29 @@ def unpack_wire(packed: np.ndarray) -> dict:
     return out
 
 
+def _fetch_concurrent(arr, num_chunks: int = 6, min_bytes: int = 1 << 20) -> np.ndarray:
+    """D2H fetch of a device array, split into concurrent row-chunk
+    transfers when large. The remote device link's per-transfer setup caps
+    one stream well below its aggregate bandwidth (measured ~11 MB/s serial
+    chunked, 27 MB/s one transfer, 30 MB/s with 6 streams)."""
+    if getattr(arr, "nbytes", 0) < min_bytes or arr.shape[0] < num_chunks:
+        return np.asarray(arr)
+    from concurrent.futures import ThreadPoolExecutor
+
+    bounds = np.linspace(0, arr.shape[0], num_chunks + 1, dtype=int)
+    parts = [arr[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+    with ThreadPoolExecutor(num_chunks) as ex:
+        return np.concatenate(list(ex.map(np.asarray, parts)))
+
+
 def finalize_hybrid(
     stats: SuffStats, *, include_intensity: bool = True, include_glcm: bool = True
 ) -> FinalizedFeatures:
     levels = stats.hist.shape[-1]
     if levels <= 256:
-        reduced = unpack_wire(_device_reduce_wire(stats))
+        reduced = unpack_wire(_fetch_concurrent(_device_reduce_wire(stats)))
     else:
-        reduced = unpack_reduced(_device_reduce_packed(stats))
+        reduced = unpack_reduced(_fetch_concurrent(_device_reduce_packed(stats)))
     return assemble_reduced(
         reduced,
         levels=levels,
