@@ -139,4 +139,11 @@ def test_reports_render(tmp_path, small_batch):
 
     fig4 = plot_sample_grid(small_batch, labels=np.zeros(len(small_batch), int))
     fig4.savefig(tmp_path / "grid.png")
+
+    from tpumcia.reports.plots import plot_occlusion_maps
+
+    occ = rng.random((4, 8, 8))
+    fig5 = plot_occlusion_maps(np.asarray(small_batch)[:4], occ, n=4)
+    fig5.savefig(tmp_path / "occ.png")
     assert (tmp_path / "top.png").exists()
+    assert (tmp_path / "occ.png").exists()

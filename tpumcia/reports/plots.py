@@ -115,3 +115,37 @@ def plot_sample_grid(images, labels=None, class_names=None, *, n: int = 9, seed:
         ax.axis("off")
     fig.tight_layout()
     return fig
+
+
+def plot_occlusion_maps(images, maps, *, n: int = 6, alpha: float = 0.6):
+    """Overlay CNN occlusion saliency maps (``importance.occlusion_map``)
+    on their images: each panel shows the (grayscale) image with the
+    upsampled probability-drop map blended on top. The CNN-path spatial
+    companion to the channel-level importance figures."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    images = np.asarray(images)
+    maps = np.asarray(maps)
+    n = min(n, len(images))
+    fig, axes = plt.subplots(1, n, figsize=(2.2 * n, 2.6))
+    axes = np.atleast_1d(axes)
+    vmax = max(float(np.max(np.abs(maps[:n]))), 1e-9)
+    for ax, i in zip(axes, range(n)):
+        img = images[i]
+        if img.ndim == 3:
+            img = img[..., 0]
+        ax.imshow(img, cmap="gray")
+        # nearest-neighbour upsample of the coarse occlusion grid
+        m = maps[i]
+        ry = int(np.ceil(img.shape[0] / m.shape[0]))
+        rx = int(np.ceil(img.shape[1] / m.shape[1]))
+        up = np.repeat(np.repeat(m, ry, axis=0), rx, axis=1)
+        up = up[: img.shape[0], : img.shape[1]]
+        ax.imshow(up, cmap="magma", alpha=alpha, vmin=0, vmax=vmax)
+        ax.axis("off")
+    fig.suptitle("Occlusion saliency (true-class probability drop)")
+    fig.tight_layout()
+    return fig
