@@ -1,6 +1,21 @@
 """Hybrid (device-reduce + host-assemble) finalisation vs oracle and host path."""
 
 import numpy as np
+
+
+def test_fetch_concurrent_matches_plain():
+    """Chunked concurrent D2H must preserve content and order, and fall
+    back to a plain fetch for small arrays."""
+    import jax.numpy as jnp
+
+    from tpumcia.features.hybrid import _fetch_concurrent
+
+    big = jnp.arange(7 * 191 * 20, dtype=jnp.uint32).reshape(7 * 191, 20)
+    np.testing.assert_array_equal(
+        _fetch_concurrent(big, min_bytes=0), np.asarray(big)
+    )
+    small = jnp.arange(12, dtype=jnp.uint32).reshape(3, 4)
+    np.testing.assert_array_equal(_fetch_concurrent(small), np.asarray(small))
 import pytest
 
 from tpumcia.config import FeatureConfig
