@@ -46,6 +46,22 @@ def test_sharded_features_nondivisible_batch(small_batch):
     np.testing.assert_array_equal(np.asarray(fm_sh.values), np.asarray(fm_ref.values))
 
 
+def test_sharded_multi_offset_matches_single_device(small_batch):
+    """Mesh + multi-offset GLCM routes through the fused sharded pass and
+    must equal the single-device multi-offset extraction exactly."""
+    from tpumcia.config import GLCMConfig
+
+    mesh = make_mesh()
+    cfg = FeatureConfig(glcm=GLCMConfig(distance=(5, 2)))
+    fm_ref = extract_features(small_batch, config=cfg)
+    fm_sh = extract_features(small_batch, config=cfg, mesh=mesh)
+    assert fm_sh.names == fm_ref.names
+    np.testing.assert_allclose(
+        np.asarray(fm_sh.values), np.asarray(fm_ref.values),
+        rtol=0, atol=1e-5, equal_nan=True,
+    )
+
+
 def test_sharded_scaler_matches_local(rng):
     mesh = make_mesh()
     X = rng.normal(0, 5, size=(37, 12)).astype(np.float32)

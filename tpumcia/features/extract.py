@@ -171,10 +171,19 @@ def extract_features(
             else degenerate | np.asarray(done.degenerate)
         )
 
-    if len(offsets) > 1 and cfg.include_glcm and mesh is None:
+    if len(offsets) > 1 and cfg.include_glcm:
         # fused multi-offset pass: the raw one-hot / histogram / rescale work
         # is shared across all offsets (skimage list API, ipynb:298)
-        if use_pallas:
+        if mesh is not None:
+            from tpumcia.parallel.sharding import sufficient_stats_sharded_multi
+
+            all_stats = sufficient_stats_sharded_multi(
+                images, mask, mesh=mesh, levels=cfg.glcm.levels,
+                offsets=tuple(offsets), chunk_size=cfg.chunk_size,
+                onehot_dtype=cfg.onehot_dtype, use_pallas=cfg.use_pallas,
+                with_intensity=cfg.include_intensity,
+            )
+        elif use_pallas:
             from tpumcia.features.pallas_glcm import (
                 sufficient_stats_pallas_multi,
             )
@@ -192,7 +201,7 @@ def extract_features(
         for i, stats in enumerate(all_stats):
             add_block(stats, cfg.include_intensity and i == 0)
     else:
-        # one stats pass per offset (sharded path); intensity once
+        # single-offset (or intensity-only) stats pass
         for i, offset in enumerate(offsets):
             with_int = cfg.include_intensity and i == 0
             add_block(run_stats(offset, with_int, cfg.include_glcm), with_int)

@@ -118,6 +118,76 @@ def sufficient_stats_sharded(
     return SuffStats(*(s[:orig_b] for s in stats))
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_stats_multi_fn(
+    mesh, levels, offsets, chunk_size, onehot_dtype, pallas, with_intensity,
+):
+    """Jitted (img, w, lut) -> per-offset sharded SuffStats tuple — the
+    multi-offset sibling of :func:`_sharded_stats_fn` (one fused local pass
+    per device sharing the raw/histogram/rescale work across offsets)."""
+    if pallas:
+        from tpumcia.features.pallas_glcm import _pallas_stats_multi_core
+
+        def local(img_l, w_l, lut):
+            return _pallas_stats_multi_core(
+                img_l, w_l, lut, levels=levels, offsets=offsets,
+                has_mask=True, interpret=False,
+            )
+
+    else:
+        from tpumcia.features.stats import _sufficient_stats_multi_jit
+
+        def local(img_l, w_l, lut):
+            return _sufficient_stats_multi_jit(
+                img_l, w_l, lut, levels=levels, offsets=offsets,
+                chunk_size=chunk_size, onehot_dtype=onehot_dtype,
+                with_intensity=with_intensity,
+            )
+
+    spec_one = SuffStats(*([P("data")] * len(SuffStats._fields)))
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P()),
+        out_specs=tuple(spec_one for _ in offsets),
+        check_vma=not pallas,
+    )
+    return jax.jit(fn)
+
+
+def sufficient_stats_sharded_multi(
+    images,
+    mask=None,
+    *,
+    mesh: Mesh,
+    levels: int = 256,
+    offsets: tuple[tuple[int, int], ...] = ((0, 5),),
+    chunk_size: int = 32,
+    onehot_dtype: str = "bfloat16",
+    use_pallas: str = "auto",
+    with_intensity: bool = True,
+) -> tuple[SuffStats, ...]:
+    """Fused multi-offset sufficient statistics, batch sharded over the
+    mesh's ``data`` axis (skimage list API x SPMD)."""
+    img, w = _prep_inputs(images, mask)
+    n_data = mesh.shape["data"]
+    img, orig_b = _pad_to_multiple(img, n_data)
+    w, _ = _pad_to_multiple(w, n_data)
+    lut = jnp.asarray(rescale_lut(levels))
+
+    on_tpu = mesh.devices.flatten()[0].platform == "tpu"
+    pallas = use_pallas == "always" or (use_pallas == "auto" and on_tpu)
+
+    fn = _sharded_stats_multi_fn(
+        mesh, levels, tuple(tuple(o) for o in offsets), chunk_size,
+        onehot_dtype, pallas, with_intensity,
+    )
+    all_stats = fn(img, w, lut)
+    return tuple(
+        SuffStats(*(s[:orig_b] for s in st)) for st in all_stats
+    )
+
+
 def extract_features_sharded(
     images,
     mask=None,
