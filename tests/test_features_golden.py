@@ -223,3 +223,38 @@ def test_glcm_properties_public_api(rng):
             for prop in oracle.GLCM_FEATURES:
                 want = oracle.graycoprops(raw, prop)[0, 0]
                 assert props[prop][b, c] == pytest.approx(want, rel=2e-5), prop
+
+
+def test_batched_extraction_matches_single(small_batch, rng):
+    """extract_features_batched (pipelined fast path) must equal per-call
+    extraction exactly, including partial final batches, masks, and the
+    sequential fallback for unsupported configs."""
+    from tpumcia.config import FeatureConfig, GLCMConfig
+    from tpumcia.features.extract import extract_features_batched
+
+    imgs = np.concatenate([small_batch, small_batch[:3]])  # 3-image tail
+    ref = extract_features(imgs)
+    got = extract_features_batched(imgs, batch_size=4)
+    assert got.names == ref.names
+    np.testing.assert_allclose(
+        np.asarray(got.values), np.asarray(ref.values), atol=1e-9,
+        equal_nan=True,
+    )
+    np.testing.assert_array_equal(got.degenerate, ref.degenerate)
+
+    mask = rng.random(imgs.shape) > 0.3
+    ref_m = extract_features(imgs, mask=mask)
+    got_m = extract_features_batched(imgs, mask=mask, batch_size=4)
+    np.testing.assert_allclose(
+        np.asarray(got_m.values), np.asarray(ref_m.values), atol=1e-9,
+        equal_nan=True,
+    )
+
+    # multi-offset -> sequential fallback, still identical
+    cfg = FeatureConfig(glcm=GLCMConfig(distance=(5, 2)))
+    ref2 = extract_features(imgs, config=cfg)
+    got2 = extract_features_batched(imgs, batch_size=4, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(got2.values), np.asarray(ref2.values), atol=1e-9,
+        equal_nan=True,
+    )

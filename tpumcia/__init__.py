@@ -19,7 +19,11 @@ Public workflow (mirrors the reference notebook):
 
 from tpumcia.version import __version__
 from tpumcia.config import PipelineConfig, FeatureConfig, GLCMConfig, HeadConfig
-from tpumcia.features.extract import extract_features, FeatureMatrix
+from tpumcia.features.extract import (
+    extract_features,
+    extract_features_batched,
+    FeatureMatrix,
+)
 from tpumcia.api import (
     load_objects,
     fit_head,
@@ -36,6 +40,7 @@ __all__ = [
     "GLCMConfig",
     "HeadConfig",
     "extract_features",
+    "extract_features_batched",
     "FeatureMatrix",
     "load_objects",
     "fit_head",

@@ -1,4 +1,8 @@
-from tpumcia.features.extract import extract_features, FeatureMatrix
+from tpumcia.features.extract import (
+    extract_features,
+    extract_features_batched,
+    FeatureMatrix,
+)
 from tpumcia.features.registry import feature_names, num_features
 from tpumcia.features.morphology import morphology_features
 from tpumcia.features.props import glcm_properties
@@ -6,6 +10,7 @@ from tpumcia.features.stats import glcm_matrix
 
 __all__ = [
     "extract_features",
+    "extract_features_batched",
     "FeatureMatrix",
     "feature_names",
     "num_features",

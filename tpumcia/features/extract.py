@@ -252,6 +252,137 @@ def extract_features(
     )
 
 
+def extract_features_batched(
+    images,
+    mask=None,
+    *,
+    batch_size: int = 2048,
+    config: FeatureConfig | None = None,
+    channel_names: list[str] | None = None,
+) -> FeatureMatrix:
+    """Large-collection extraction as a pipeline of fixed-size batches.
+
+    One fused device dispatch per batch (all batches enqueued up front),
+    then the per-batch exact-scalar wires are fetched CONCURRENTLY and
+    assembled to float64 on worker threads — the same overlap discipline as
+    the headline benchmark, exposed as a library call. A single fixed batch
+    shape also avoids one giant (or many diverse) XLA/Mosaic compiles.
+
+    Values are identical to :func:`extract_features` (per-image statistics
+    are exact). Falls back to sequential per-batch extraction for
+    configurations outside the hybrid fast path (multi-offset, morphology,
+    'exact'/'device' precision, >=2^16 pixels).
+    """
+    cfg = config or FeatureConfig()
+    images = _as_level_array(images)
+    n = len(images)
+    if n <= batch_size:
+        return extract_features(
+            images, mask=mask, config=cfg, channel_names=channel_names
+        )
+
+    offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
+    fast = (
+        cfg.precision == "hybrid"
+        and cfg.glcm.levels <= 256
+        and images.shape[1] * images.shape[2] < 65536
+        and not cfg.include_morphology
+        and cfg.include_intensity
+        and cfg.include_glcm
+        and len(offsets) == 1
+    )
+
+    import math
+
+    num_batches = math.ceil(n / batch_size)
+    slices = [
+        slice(i * batch_size, min((i + 1) * batch_size, n))
+        for i in range(num_batches)
+    ]
+
+    if not fast:
+        fms = [
+            extract_features(
+                images[sl],
+                mask=mask[sl] if mask is not None else None,
+                config=cfg,
+                channel_names=channel_names,
+            )
+            for sl in slices
+        ]
+        out = fms[0]
+        values = [np.asarray(f.values) for f in fms]
+        degenerate = [np.asarray(f.degenerate) for f in fms]
+        return FeatureMatrix(
+            values=np.concatenate(values),
+            names=out.names,
+            num_channels=out.num_channels,
+            degenerate=np.concatenate(degenerate),
+            config=cfg,
+            channel_names=out.channel_names,
+        )
+
+    import jax.numpy as jnp
+
+    from tpumcia.features.hybrid import (
+        _device_reduce_wire,
+        assemble_reduced,
+        unpack_wire,
+    )
+
+    use_pallas = _resolve_pallas(cfg)
+    offset = tuple(offsets[0])
+
+    def pad_batch(arr, sl):
+        # wrap-around pad keeps one compiled batch shape; stays on device
+        b = arr[sl]
+        short = batch_size - (sl.stop - sl.start)
+        if short:
+            b = jnp.concatenate([jnp.asarray(b), jnp.asarray(arr[:short])])
+        return b
+
+    wires = []
+    for sl in slices:
+        imgs_b = pad_batch(images, sl)
+        mask_b = pad_batch(mask, sl) if mask is not None else None
+        if use_pallas:
+            from tpumcia.features.pallas_glcm import sufficient_stats_pallas
+
+            stats = sufficient_stats_pallas(
+                imgs_b, mask_b, levels=cfg.glcm.levels, offset=offset
+            )
+        else:
+            stats = sufficient_stats(
+                imgs_b, mask_b, levels=cfg.glcm.levels, offset=offset,
+                chunk_size=cfg.chunk_size, onehot_dtype=cfg.onehot_dtype,
+            )
+        wires.append(_device_reduce_wire(stats))  # async dispatch
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(args):
+        w, sl = args
+        done = assemble_reduced(
+            unpack_wire(np.asarray(w)), levels=cfg.glcm.levels
+        )
+        keep = sl.stop - sl.start
+        return done.values[:keep], np.asarray(done.degenerate)[:keep]
+
+    with ThreadPoolExecutor(min(6, len(wires))) as ex:
+        results = list(ex.map(one, zip(wires, slices)))
+
+    num_channels = images.shape[-1]
+    names = registry.feature_names(num_channels, channel_names=channel_names)
+    return FeatureMatrix(
+        values=np.concatenate([v for v, _ in results]),
+        names=names,
+        num_channels=num_channels,
+        degenerate=np.concatenate([d for _, d in results]),
+        config=cfg,
+        channel_names=list(channel_names) if channel_names else None,
+    )
+
+
 def _as_level_array(images):
     arr = images if isinstance(images, jax.Array) else np.asarray(images)
     if arr.dtype.kind == "f":
