@@ -69,10 +69,21 @@ def run_pipeline(
     mesh = mesh_from_config(cfg.mesh)
 
     t0 = time.perf_counter()
-    fm = extract_features(
-        images, mask=mask, config=cfg.features, channel_names=channel_names,
-        mesh=mesh,
-    )
+    if mesh is None and len(images) > 4096:
+        # large single-device inputs: pipelined fixed-size batches (one
+        # compiled shape, concurrent wire fetches) instead of one giant
+        # collection-sized dispatch
+        from tpumcia.features.extract import extract_features_batched
+
+        fm = extract_features_batched(
+            images, mask=mask, config=cfg.features,
+            channel_names=channel_names,
+        )
+    else:
+        fm = extract_features(
+            images, mask=mask, config=cfg.features,
+            channel_names=channel_names, mesh=mesh,
+        )
     timings["features_s"] = time.perf_counter() - t0
 
     X = np.nan_to_num(np.asarray(fm.values, dtype=np.float32))
