@@ -43,10 +43,23 @@ def config1_masked_extraction(batch=2048, reps=8):
         fm = extract_features(imgs_d, mask=mask_d)
     np.asarray(fm.values)
     elapsed = time.perf_counter() - t0
+
+    # collection-scale: the pipelined batched API over reps*batch images
+    # (one compiled shape, concurrent wire fetches)
+    from tpumcia.features.extract import extract_features_batched
+
+    big = jnp.concatenate([imgs_d] * reps)
+    big_mask = jnp.concatenate([mask_d] * reps)
+    fmb = extract_features_batched(big, mask=big_mask, batch_size=batch)
+    t0 = time.perf_counter()
+    fmb = extract_features_batched(big, mask=big_mask, batch_size=batch)
+    batched_elapsed = time.perf_counter() - t0
+    assert fmb.shape == (batch * reps, fm.values.shape[1])
     return {
         "config": 1,
         "name": "masked_feature_extraction",
         "images_per_sec": _rate(batch * reps, elapsed),
+        "images_per_sec_batched_api": _rate(batch * reps, batched_elapsed),
         "batch": batch,
         "masked": True,
         "features": int(fm.values.shape[1]),
