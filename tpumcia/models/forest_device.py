@@ -73,24 +73,54 @@ def _forest_proba(X, feature, threshold, left, right, leaf_proba, *, depth: int)
 _GEMM_MAX_CELLS = 1 << 20
 
 
+_GEMM_TREE_BLOCK = 8
+
+
 def _forest_proba_gemm_impl(X, g_feature, g_threshold, A, target, g_leaf_proba):
     """GEMM forest inference. X: (S, F); g_feature/g_threshold: (T, N)
     internal nodes; A: (T, L, N) i8 path matrix; target: (T, L) i32;
-    g_leaf_proba: (T, L, K). -> (S, K) mean class probabilities."""
+    g_leaf_proba: (T, L, K). -> (S, K) mean class probabilities.
+
+    Trees are processed in blocks of ``_GEMM_TREE_BLOCK`` under a lax.map
+    so the (trees, samples, leaves) reached tensor never materialises for
+    the whole forest at once (it would multiply again under the vmapped
+    permutation sweep). Padded trees have all-zero path rows and target -1,
+    so they reach no leaf and contribute nothing."""
     f32 = jnp.float32
-    # cmp[t, s, n] = [x[s, f_tn] <= thr_tn]  (sklearn's left-branch test)
-    xg = jnp.take(X, g_feature, axis=1)  # (S, T, N)
-    cmp = (xg <= g_threshold[None]).astype(f32)  # (S, T, N)
-    # s[t, s, l] = A_l . cmp — exact (+-1 products, f32 accumulation; f32
-    # operands because CPU XLA lacks bf16xbf16->f32 dots)
-    s = jnp.einsum(
-        "stn,tln->tsl", cmp, A.astype(f32), preferred_element_type=f32,
-    )
-    reached = (s.astype(jnp.int32) == target[:, None, :]).astype(f32)  # (T,S,L)
-    proba = jnp.einsum(
-        "tsl,tlk->sk", reached, g_leaf_proba, preferred_element_type=f32
-    )
-    return proba / A.shape[0]
+    T = A.shape[0]
+    B = min(_GEMM_TREE_BLOCK, T)
+    nb = -(-T // B)
+    pad = nb * B - T
+
+    def pad_t(arr, fill):
+        if not pad:
+            return arr
+        widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+        return jnp.pad(arr, widths, constant_values=fill)
+
+    fb = pad_t(g_feature, 0).reshape(nb, B, -1)
+    tb = pad_t(g_threshold, -jnp.inf).reshape(nb, B, -1)
+    Ab = pad_t(A, 0).reshape(nb, B, *A.shape[1:])
+    gb = pad_t(target, -1).reshape(nb, B, -1)
+    pb = pad_t(g_leaf_proba, 0.0).reshape(nb, B, *g_leaf_proba.shape[1:])
+
+    def one_block(args):
+        f, thr, a, tgt, lp = args
+        # cmp[t, s, n] = [x[s, f_tn] <= thr_tn]  (sklearn's left-branch test)
+        xg = jnp.take(X, f, axis=1)  # (S, B, N)
+        cmp = (xg <= thr[None]).astype(f32)
+        # s[t, s, l] = A_l . cmp — exact (+-1 products, f32 accumulation;
+        # f32 operands because CPU XLA lacks bf16xbf16->f32 dots)
+        s = jnp.einsum(
+            "stn,tln->tsl", cmp, a.astype(f32), preferred_element_type=f32,
+        )
+        reached = (s.astype(jnp.int32) == tgt[:, None, :]).astype(f32)
+        return jnp.einsum(
+            "tsl,tlk->sk", reached, lp, preferred_element_type=f32
+        )
+
+    probas = jax.lax.map(one_block, (fb, tb, Ab, gb, pb))  # (nb, S, K)
+    return jnp.sum(probas, axis=0) / T
 
 
 @jax.jit
