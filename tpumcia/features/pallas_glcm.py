@@ -131,11 +131,18 @@ def _kernel(
     iota_lane = jax.lax.broadcasted_iota(i32, (1, L), 1)
     # nibble weights of the level index: resc = 16*(hi_w @ oh) + lo_w @ oh.
     # Both fit int8, so recovering rescaled values from the one-hots costs
-    # two s8 matvecs instead of an (L, CH) i8->bf16 cast + bf16 matvec.
-    hi_w = (iota_lane >> 4).astype(oh_t)  # (1, L) in 0..15
-    lo_w = (iota_lane & 15).astype(oh_t)
+    # s8 matvecs instead of an (L, CH) i8->bf16 cast + bf16 matvec; the
+    # hi/lo rows are stacked into one (2, L) operand so each side is a
+    # single MXU call (an M=1 matvec pays the full 128-row MXU pass anyway).
+    sub2 = jax.lax.broadcasted_iota(i32, (2, L), 0)
+    nib_w = jnp.where(sub2 == 0, iota_lane >> 4, iota_lane & 15).astype(oh_t)
     lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
     ones_row = jnp.ones((1, raw_ref.shape[-1]), oh_t)
+
+    def _nib_value(oh):
+        """(L, CH) one-hot -> (1, CH) level values via one (2, L) matmul."""
+        nb = jnp.dot(nib_w, oh, preferred_element_type=i32)  # (2, CH)
+        return nb[0:1, :] * 16 + nb[1:2, :]
 
     # per-chunk static position masks: in-bounds pixels and valid pairs
     # (the offset window), reconstructed from the flat pixel index. The
@@ -218,18 +225,12 @@ def _kernel(
             # already folded into oh_l via the sentinel)
             glcm += _lanedot(oh_l, oh_r, acc)
 
-            # --- rescaled values for the difference histogram: two s8
-            # nibble-weight matvecs over the one-hots (masked pixels give
-            # resc_l = -16-1...0-ish values; the diff one-hot re-masks with
-            # pwb, so aliasing is harmless)
-            resc_l = (
-                jnp.dot(hi_w, oh_l, preferred_element_type=i32) * 16
-                + jnp.dot(lo_w, oh_l, preferred_element_type=i32)
-            )
-            resc_r = (
-                jnp.dot(hi_w, oh_r, preferred_element_type=i32) * 16
-                + jnp.dot(lo_w, oh_r, preferred_element_type=i32)
-            )
+            # --- rescaled values for the difference histogram: one stacked
+            # s8 nibble matmul per side (masked pixels give resc = 0-ish
+            # values; the diff one-hot re-masks with pwb, so aliasing is
+            # harmless)
+            resc_l = _nib_value(oh_l)
+            resc_r = _nib_value(oh_r)
             diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
             oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
             oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
@@ -449,10 +450,14 @@ def _kernel_multi(
     iota_16 = jax.lax.broadcasted_iota(i32, (16, 1), 0)
     iota_dhi = jax.lax.broadcasted_iota(i32, (DHI, 1), 0)
     iota_lane = jax.lax.broadcasted_iota(i32, (1, L), 1)
-    hi_w = (iota_lane >> 4).astype(oh_t)
-    lo_w = (iota_lane & 15).astype(oh_t)
+    sub2 = jax.lax.broadcasted_iota(i32, (2, L), 0)
+    nib_w = jnp.where(sub2 == 0, iota_lane >> 4, iota_lane & 15).astype(oh_t)
     lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
     ones_row = jnp.ones((1, raw_ref.shape[-1]), oh_t)
+
+    def _nib_value(oh):
+        nb = jnp.dot(nib_w, oh, preferred_element_type=i32)  # (2, CH)
+        return nb[0:1, :] * 16 + nb[1:2, :]
 
     CH = raw_ref.shape[-1]
     inb, inb_full, n_inb = [], [], []
@@ -510,10 +515,7 @@ def _kernel_multi(
 
             # shared left side: unmasked rescaled one-hot + values
             oh_l = ((raw >= start) & (raw < end)).astype(oh_t)
-            resc_l = (
-                jnp.dot(hi_w, oh_l, preferred_element_type=i32) * 16
-                + jnp.dot(lo_w, oh_l, preferred_element_type=i32)
-            )
+            resc_l = _nib_value(oh_l)
 
             for o in range(O):
                 rsh = rsh_refs[o][0, c][k : k + 1, :]
@@ -529,10 +531,7 @@ def _kernel_multi(
                 glcm[o] += _lanedot(oh_l, oh_r, acc)
                 marg_l[o] += _lanedot(pwb.astype(oh_t), oh_l, acc).astype(f32)
                 marg_r[o] += _lanedot(ones_row, oh_r, acc).astype(f32)
-                resc_r = (
-                    jnp.dot(hi_w, oh_r, preferred_element_type=i32) * 16
-                    + jnp.dot(lo_w, oh_r, preferred_element_type=i32)
-                )
+                resc_r = _nib_value(oh_r)
                 diff = resc_l - resc_r + (L - 1)
                 oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
                 oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
