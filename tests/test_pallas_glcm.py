@@ -13,9 +13,90 @@ from tpumcia.features.stats import sufficient_stats
 
 def _assert_stats_equal(a, b):
     for name in a._fields:
-        x = np.asarray(getattr(a, name), dtype=np.float64)
-        y = np.asarray(getattr(b, name), dtype=np.float64)
+        av, bv = getattr(a, name), getattr(b, name)
+        if av is None and bv is None:
+            continue
+        x = np.asarray(av, dtype=np.float64)
+        y = np.asarray(bv, dtype=np.float64)
         np.testing.assert_array_equal(x, y, err_msg=name)
+
+
+def _assert_fast_stats_match(full, fast):
+    """The v4 reduced kernel drops diff_hist; every shared field must be
+    bit-equal, and dstats must carry exactly the reductions the wire derives
+    from the full kernel's difference histogram (homogeneity to f32)."""
+    for name in ("hist", "count", "vmax", "marg_l", "marg_r", "glcm_sumsq",
+                 "pair_count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full, name), np.float64),
+            np.asarray(getattr(fast, name), np.float64),
+            err_msg=name,
+        )
+    assert fast.diff_hist is None and fast.dstats is not None
+    dh = np.asarray(full.diff_hist, np.int64)
+    L = full.marg_l.shape[-1]
+    d = np.arange(2 * L - 1) - (L - 1)
+    d2 = d * d
+    ds = np.asarray(fast.dstats, np.float64)
+    np.testing.assert_array_equal(ds[..., 0], (dh * (d2 >> 8)).sum(-1))
+    np.testing.assert_array_equal(ds[..., 1], (dh * (d2 & 255)).sum(-1))
+    np.testing.assert_array_equal(ds[..., 2], (dh * np.abs(d)).sum(-1))
+    homog = (dh / (1.0 + d2)).sum(-1)
+    np.testing.assert_allclose(ds[..., 3], homog, rtol=1e-5)
+
+
+def test_pallas_fast_path_matches_full(small_batch):
+    """need_diff_hist=False (kernel v4) vs the full kernel."""
+    full = sufficient_stats_pallas(small_batch[:2], interpret=True)
+    fast = sufficient_stats_pallas(
+        small_batch[:2], interpret=True, need_diff_hist=False
+    )
+    _assert_fast_stats_match(full, fast)
+
+
+def test_pallas_fast_path_masked(rng):
+    img = (rng.random((2, 32, 32, 2)) * 256).astype(np.uint8)
+    mask = rng.random((2, 32, 32, 2)) > 0.3
+    full = sufficient_stats_pallas(img, mask, interpret=True)
+    fast = sufficient_stats_pallas(
+        img, mask, interpret=True, need_diff_hist=False
+    )
+    _assert_fast_stats_match(full, fast)
+
+
+def test_pallas_fast_path_features_close(small_batch):
+    """End-to-end: hybrid finalize over the reduced kernel must reproduce
+    the full kernel's features (exactly, except f32-summed homogeneity)."""
+    from tpumcia.features.finalize import finalize_features
+
+    full = finalize_features(
+        sufficient_stats_pallas(small_batch[:2], interpret=True),
+        backend="hybrid",
+    )
+    fast = finalize_features(
+        sufficient_stats_pallas(
+            small_batch[:2], interpret=True, need_diff_hist=False
+        ),
+        backend="hybrid",
+    )
+    np.testing.assert_allclose(
+        np.asarray(full.values), np.asarray(fast.values),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_pallas_fast_path_multi(small_batch):
+    from tpumcia.features.pallas_glcm import sufficient_stats_pallas_multi
+
+    full = sufficient_stats_pallas_multi(
+        small_batch[:2], offsets=OFFSETS[:2], interpret=True
+    )
+    fast = sufficient_stats_pallas_multi(
+        small_batch[:2], offsets=OFFSETS[:2], interpret=True,
+        need_diff_hist=False,
+    )
+    for f, g in zip(full, fast):
+        _assert_fast_stats_match(f, g)
 
 
 def test_pallas_matches_xla(small_batch):

@@ -123,6 +123,17 @@ def extract_features(
     images = _as_level_array(images)
     use_pallas = _resolve_pallas(cfg)
 
+    backend = {"exact": "host", "hybrid": "hybrid", "device": "device"}[
+        cfg.precision
+    ]
+    if backend == "hybrid" and images.shape[1] * images.shape[2] >= 65536:
+        backend = "host"  # hybrid's exact-integer bounds need < 2^16 pixels
+    # hybrid's wire never reads the difference histogram — the v4 kernel
+    # derives its reductions from the VMEM G accumulator instead (the
+    # 'host'/'device' finalizers also accept dstats, so the fused device
+    # feature path rides the same reduced contract)
+    need_dh = backend == "host"
+
     def run_stats(offset, with_intensity, with_glcm):
         if mesh is not None:
             from tpumcia.parallel.sharding import sufficient_stats_sharded
@@ -132,6 +143,7 @@ def extract_features(
                 chunk_size=cfg.chunk_size, onehot_dtype=cfg.onehot_dtype,
                 use_pallas=cfg.use_pallas,
                 with_intensity=with_intensity, with_glcm=with_glcm,
+                need_diff_hist=need_dh,
             )
         if use_pallas:
             from tpumcia.features.pallas_glcm import sufficient_stats_pallas
@@ -139,18 +151,13 @@ def extract_features(
             return sufficient_stats_pallas(
                 images, mask, levels=cfg.glcm.levels, offset=offset,
                 with_intensity=with_intensity, with_glcm=with_glcm,
+                need_diff_hist=need_dh,
             )
         return sufficient_stats(
             images, mask, levels=cfg.glcm.levels, offset=offset,
             chunk_size=cfg.chunk_size, onehot_dtype=cfg.onehot_dtype,
             with_intensity=with_intensity, with_glcm=with_glcm,
         )
-
-    backend = {"exact": "host", "hybrid": "hybrid", "device": "device"}[
-        cfg.precision
-    ]
-    if backend == "hybrid" and images.shape[1] * images.shape[2] >= 65536:
-        backend = "host"  # hybrid's exact-integer bounds need < 2^16 pixels
 
     offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
     value_blocks = []
@@ -182,6 +189,7 @@ def extract_features(
                 offsets=tuple(offsets), chunk_size=cfg.chunk_size,
                 onehot_dtype=cfg.onehot_dtype, use_pallas=cfg.use_pallas,
                 with_intensity=cfg.include_intensity,
+                need_diff_hist=need_dh,
             )
         elif use_pallas:
             from tpumcia.features.pallas_glcm import (
@@ -189,7 +197,8 @@ def extract_features(
             )
 
             all_stats = sufficient_stats_pallas_multi(
-                images, mask, levels=cfg.glcm.levels, offsets=tuple(offsets)
+                images, mask, levels=cfg.glcm.levels, offsets=tuple(offsets),
+                need_diff_hist=need_dh,
             )
         else:
             all_stats = sufficient_stats_multi(
@@ -349,7 +358,8 @@ def extract_features_batched(
             from tpumcia.features.pallas_glcm import sufficient_stats_pallas
 
             stats = sufficient_stats_pallas(
-                imgs_b, mask_b, levels=cfg.glcm.levels, offset=offset
+                imgs_b, mask_b, levels=cfg.glcm.levels, offset=offset,
+                need_diff_hist=False,
             )
         else:
             stats = sufficient_stats(

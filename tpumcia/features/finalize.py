@@ -103,28 +103,39 @@ def _intensity_block(hist, count, xp, dtype):
     return feats  # (B, C, 17)
 
 
-def _glcm_block(marg_l, marg_r, diff_hist, sumsq, npairs, xp, dtype):
+def _glcm_block(marg_l, marg_r, diff_hist, sumsq, npairs, xp, dtype,
+                dstats=None):
     """GLCM sufficient stats -> (B, C, 6) [contrast, dissimilarity,
     homogeneity, ASM, energy, correlation], skimage ``graycoprops`` semantics
-    (ipynb:301-306)."""
+    (ipynb:301-306). With ``dstats`` (kernel v4 fast path, ``diff_hist`` may
+    be None) the three difference-derived sums come pre-reduced from the
+    device instead of from the difference histogram."""
     L = marg_l.shape[-1]
     i = xp.arange(L).astype(dtype)
-    d = xp.arange(2 * L - 1).astype(dtype) - (L - 1)
-    d2 = d * d
     i2 = i * i
 
     N = npairs.astype(dtype)
     safe_N = xp.maximum(N, 1)
-    dh = diff_hist.astype(dtype)
     ml = marg_l.astype(dtype)
     mr = marg_r.astype(dtype)
-    Pd = dh / safe_N[..., None]  # (B, C, 2L-1)
     Pl = ml / safe_N[..., None]
     Pr = mr / safe_N[..., None]
 
-    contrast = xp.sum(Pd * d2, axis=-1)
-    dissimilarity = xp.sum(Pd * xp.abs(d), axis=-1)
-    homogeneity = xp.sum(Pd / (1.0 + d2), axis=-1)
+    if dstats is not None:
+        ds = dstats.astype(dtype)
+        s_d2 = 256.0 * ds[..., 0] + ds[..., 1]
+        contrast = s_d2 / safe_N
+        dissimilarity = ds[..., 2] / safe_N
+        homogeneity = ds[..., 3] / safe_N
+    else:
+        d = xp.arange(2 * L - 1).astype(dtype) - (L - 1)
+        d2 = d * d
+        dh = diff_hist.astype(dtype)
+        Pd = dh / safe_N[..., None]  # (B, C, 2L-1)
+        contrast = xp.sum(Pd * d2, axis=-1)
+        dissimilarity = xp.sum(Pd * xp.abs(d), axis=-1)
+        homogeneity = xp.sum(Pd / (1.0 + d2), axis=-1)
+        s_d2 = dh @ d2
     asm = glcm_sumsq_value(sumsq, xp, dtype) / (safe_N * safe_N)
     energy = xp.sqrt(asm)
 
@@ -139,7 +150,6 @@ def _glcm_block(marg_l, marg_r, diff_hist, sumsq, npairs, xp, dtype):
     # 2*S_ij = S_i2 + S_j2 - S_d2  since (i-j)^2 = i^2 + j^2 - 2ij.
     s_i2 = ml @ i2
     s_j2 = mr @ i2
-    s_d2 = dh @ d2
     s_ij = (s_i2 + s_j2 - s_d2) / 2
     cov = s_ij / safe_N - mu_i * mu_j
     denom = std_i * std_j
@@ -178,9 +188,10 @@ def _pack_jit(s: SuffStats, *, narrow: str) -> SuffStats:
         vmax=s.vmax,
         marg_l=s.marg_l.astype(nd),
         marg_r=s.marg_r.astype(nd),
-        diff_hist=s.diff_hist.astype(nd),
+        diff_hist=None if s.diff_hist is None else s.diff_hist.astype(nd),
         glcm_sumsq=s.glcm_sumsq,  # exact int32 limbs, not u16-representable
         pair_count=s.pair_count.astype(jnp.int32),
+        dstats=s.dstats,  # f32 already (exact integers + one f32 sum)
     )
 
 
@@ -206,7 +217,9 @@ def finalize_features(
     """
     if backend == "host":
         stats = _pack_for_transfer(stats)
-        stats = SuffStats(*(np.asarray(s) for s in stats))
+        stats = SuffStats(
+            *(None if s is None else np.asarray(s) for s in stats)
+        )
         xp, dtype = np, np.float64
         return _finalize(stats, xp, dtype, include_intensity, include_glcm)
     if backend == "hybrid":
@@ -235,6 +248,7 @@ def _finalize(stats, xp, dtype, include_intensity, include_glcm):
             stats.pair_count,
             xp,
             dtype,
+            dstats=stats.dstats,
         )
         blocks.append(glcm.reshape(B, -1))
     values = xp.concatenate(blocks, axis=1)

@@ -90,24 +90,33 @@ def _device_reduce(stats: SuffStats):
     # --- GLCM: exact integer pieces + f32 small sums ---------------------
     ml = stats.marg_l.astype(i32)
     mr = stats.marg_r.astype(i32)
-    dh = stats.diff_hist.astype(i32)
-    D = dh.shape[-1]
-    d = jnp.arange(D, dtype=i32) - (L - 1)
-    d2 = d * d
     i2 = k * k
     # base-256 limbs of the squares keep every partial sum < 2^24
     s_i2_hi = jnp.sum(ml * (i2 >> 8), axis=-1)
     s_i2_lo = jnp.sum(ml * (i2 & 255), axis=-1)
     s_j2_hi = jnp.sum(mr * (i2 >> 8), axis=-1)
     s_j2_lo = jnp.sum(mr * (i2 & 255), axis=-1)
-    s_d2_hi = jnp.sum(dh * (d2 >> 8), axis=-1)
-    s_d2_lo = jnp.sum(dh * (d2 & 255), axis=-1)
     s_i = jnp.sum(ml * k, axis=-1)  # exact first moments
     s_j = jnp.sum(mr * k, axis=-1)
-    dissim_raw = jnp.sum(dh * jnp.abs(d), axis=-1)  # <= 255*65535, exact
-    homog_sum = jnp.sum(
-        dh.astype(f32) / (1.0 + d2.astype(f32)), axis=-1
-    )
+    if stats.dstats is not None:
+        # kernel v4 fast path: the difference-derived sums were already
+        # reduced from the VMEM G accumulator in-kernel (same limb layout)
+        ds = stats.dstats
+        s_d2_hi = ds[..., 0].astype(i32)
+        s_d2_lo = ds[..., 1].astype(i32)
+        dissim_raw = ds[..., 2].astype(i32)
+        homog_sum = ds[..., 3]
+    else:
+        dh = stats.diff_hist.astype(i32)
+        D = dh.shape[-1]
+        d = jnp.arange(D, dtype=i32) - (L - 1)
+        d2 = d * d
+        s_d2_hi = jnp.sum(dh * (d2 >> 8), axis=-1)
+        s_d2_lo = jnp.sum(dh * (d2 & 255), axis=-1)
+        dissim_raw = jnp.sum(dh * jnp.abs(d), axis=-1)  # <= 255*65535, exact
+        homog_sum = jnp.sum(
+            dh.astype(f32) / (1.0 + d2.astype(f32)), axis=-1
+        )
 
     return dict(
         n=n,
@@ -219,11 +228,18 @@ def _device_reduce_wire(stats: SuffStats) -> jax.Array:
     L = stats.marg_l.shape[-1]
     k = jnp.arange(L, dtype=u32)
     k2 = k * k
-    d = jnp.arange(2 * L - 1, dtype=jnp.int32) - (L - 1)
-    d2 = u(d * d)
     s_i2 = jnp.sum(u(stats.marg_l.astype(jnp.int32)) * k2, axis=-1)
     s_j2 = jnp.sum(u(stats.marg_r.astype(jnp.int32)) * k2, axis=-1)
-    s_d2 = jnp.sum(u(stats.diff_hist.astype(jnp.int32)) * d2, axis=-1)
+    if stats.dstats is not None:
+        # v4 kernel: s_d2 limbs already reduced in-kernel (256*hi + lo;
+        # exact u32 — hi < 2^24, so the shifted term stays < 2^32)
+        s_d2 = (u(stats.dstats[..., 0].astype(jnp.int32)) << 8) + u(
+            stats.dstats[..., 1].astype(jnp.int32)
+        )
+    else:
+        d = jnp.arange(2 * L - 1, dtype=jnp.int32) - (L - 1)
+        d2 = u(d * d)
+        s_d2 = jnp.sum(u(stats.diff_hist.astype(jnp.int32)) * d2, axis=-1)
     limbs = u(stats.glcm_sumsq)  # weights 2^24, 2^13, 2^8, 1 (stats.py)
     sumsq = (
         (limbs[..., 0] << 24) + (limbs[..., 1] << 13)

@@ -42,12 +42,23 @@ class SuffStats(NamedTuple):
     vmax: jax.Array  # (B, C) i32   max raw level over masked pixels; -1 if none
     marg_l: jax.Array  # (B, C, L)    GLCM left-pixel marginal (rescaled levels)
     marg_r: jax.Array  # (B, C, L)    GLCM right-pixel marginal
-    diff_hist: jax.Array  # (B, C, 2L-1) histogram of (left - right) + (L-1)
+    diff_hist: jax.Array | None  # (B, C, 2L-1) histogram of (left - right)
+    #                        + (L-1). None on the reduced fast path, where the
+    #                        only quantities the finalisers derive from it are
+    #                        carried by ``dstats`` instead (kernel v4).
     glcm_sumsq: jax.Array  # (B, C, 4) i32 limbs of sum(count^2); see
     #                        glcm_sumsq_value — exact for pair counts < 2^24
     #                        (a raw f32 sum of squares loses integer exactness
     #                        once any co-occurrence cell exceeds 4096)
     pair_count: jax.Array  # (B, C)       number of valid (masked) pixel pairs
+    dstats: jax.Array | None = None  # (B, C, 4) f32 weight-plane reductions of
+    #                        the co-occurrence matrix G, emitted straight from
+    #                        the kernel's VMEM accumulator when diff_hist is
+    #                        dropped: [sum(G*((i-j)^2 >> 8)),
+    #                        sum(G*((i-j)^2 & 255)), sum(G*|i-j|),
+    #                        sum(G/(1+(i-j)^2))]. The first three are exact
+    #                        integers < 2^24 (so exact in f32); the last is an
+    #                        f32 sum. s_d2 = 256*w0 + w1 (exact < 2^32).
 
 
 @functools.lru_cache(maxsize=8)

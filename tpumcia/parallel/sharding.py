@@ -40,24 +40,46 @@ def _pad_to_multiple(arr, m: int):
     return jnp.concatenate([arr, pad_block], axis=0), b
 
 
+def _trim_stats(stats: SuffStats, orig_b: int) -> SuffStats:
+    return SuffStats(*(None if s is None else s[:orig_b] for s in stats))
+
+
+def _data_out_specs(local, mesh, example_args):
+    """Out-specs matching the local function's actual output pytree (fields
+    may be None on the reduced fast path), every array sharded over 'data'."""
+    shapes = jax.eval_shape(local, *example_args)
+    return jax.tree.map(lambda _: P("data"), shapes)
+
+
 @functools.lru_cache(maxsize=64)
 def _sharded_stats_fn(
     mesh, levels, offset, chunk_size, onehot_dtype, pallas,
-    with_intensity, with_glcm,
+    with_intensity, with_glcm, has_mask, need_diff, shapes,
 ):
-    """Jitted (img, w, lut) -> sharded SuffStats, cached per (mesh, config)
+    """Jitted (img[, w], lut) -> sharded SuffStats, cached per (mesh, config)
     so repeated calls reuse one trace (a per-call shard_map closure would
-    retrace every time — expensive on a slow host)."""
+    retrace every time — expensive on a slow host). With ``has_mask=False``
+    the weight array is never materialised: the Pallas branch uses the
+    maskless kernel specialisation, the XLA branch broadcasts ones inside
+    the jit (fused, never an HBM array)."""
     if pallas:
-        from tpumcia.features.pallas_glcm import _pallas_stats_jit
+        from tpumcia.features.pallas_glcm import _pallas_stats_core
 
-        def local(img_l, w_l, lut):
-            return _pallas_stats_jit(img_l, w_l, lut, levels=levels,
-                                     offset=offset)
+        def local(img_l, *rest):
+            w_l, lut = (rest[0], rest[1]) if has_mask else (None, rest[0])
+            return _pallas_stats_core(
+                img_l, w_l, lut, levels=levels, offset=offset,
+                has_mask=has_mask, interpret=False, need_diff=need_diff,
+            )
 
     else:
 
-        def local(img_l, w_l, lut):
+        def local(img_l, *rest):
+            if has_mask:
+                w_l, lut = rest
+            else:
+                (lut,) = rest
+                w_l = jnp.ones(img_l.shape, jnp.float32)
             one = functools.partial(
                 _single_image_stats,
                 lut=lut,
@@ -72,12 +94,13 @@ def _sharded_stats_fn(
                 lambda xw: one(xw[0], xw[1]), (img_l, w_l), batch_size=bs
             )
 
-    spec_in = P("data")
+    n_in = 2 if has_mask else 1
+    example = [jax.ShapeDtypeStruct(s, d) for s, d in shapes]
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec_in, spec_in, P()),
-        out_specs=SuffStats(*([spec_in] * len(SuffStats._fields))),
+        in_specs=tuple([P("data")] * n_in + [P()]),
+        out_specs=_data_out_specs(local, mesh, example),
         # pallas_call's out_shape structs carry no vma annotation
         check_vma=not pallas,
     )
@@ -96,60 +119,81 @@ def sufficient_stats_sharded(
     use_pallas: str = "auto",
     with_intensity: bool = True,
     with_glcm: bool = True,
+    need_diff_hist: bool = True,
 ) -> SuffStats:
     """Per-(image, channel) sufficient statistics with the batch sharded over
     the mesh's ``data`` axis. Output stats stay sharded the same way.
     On TPU meshes each device runs the fused Pallas kernel on its local
-    shard (``use_pallas='auto'``); CPU meshes use the XLA path."""
-    img, w = _prep_inputs(images, mask)
-    n_data = mesh.shape["data"]
-    img, orig_b = _pad_to_multiple(img, n_data)
-    w, _ = _pad_to_multiple(w, n_data)
-    lut = jnp.asarray(rescale_lut(levels))
+    shard (``use_pallas='auto'``); CPU meshes use the XLA path.
 
+    ``need_diff_hist=False`` selects the v4 fast-kernel contract (Pallas
+    meshes only — the XLA path always carries the full difference histogram,
+    so the flag is ignored there)."""
     on_tpu = mesh.devices.flatten()[0].platform == "tpu"
     pallas = use_pallas == "always" or (use_pallas == "auto" and on_tpu)
+    has_mask = mask is not None
 
+    if has_mask:
+        img, w = _prep_inputs(images, mask)
+    else:
+        img = jnp.transpose(jnp.asarray(images), (0, 3, 1, 2)).astype(jnp.int32)
+        w = None
+    n_data = mesh.shape["data"]
+    img, orig_b = _pad_to_multiple(img, n_data)
+    if has_mask:
+        w, _ = _pad_to_multiple(w, n_data)
+    lut = jnp.asarray(rescale_lut(levels))
+
+    args = (img, w, lut) if has_mask else (img, lut)
+    shapes = tuple((tuple(a.shape), jnp.dtype(a.dtype).name) for a in args)
     fn = _sharded_stats_fn(
         mesh, levels, tuple(offset), chunk_size, onehot_dtype, pallas,
-        with_intensity, with_glcm,
+        with_intensity, with_glcm, has_mask,
+        need_diff_hist if pallas else True, shapes,
     )
-    stats = fn(img, w, lut)
-    return SuffStats(*(s[:orig_b] for s in stats))
+    return _trim_stats(fn(*args), orig_b)
 
 
 @functools.lru_cache(maxsize=64)
 def _sharded_stats_multi_fn(
     mesh, levels, offsets, chunk_size, onehot_dtype, pallas, with_intensity,
+    has_mask, need_diff, shapes,
 ):
-    """Jitted (img, w, lut) -> per-offset sharded SuffStats tuple — the
+    """Jitted (img[, w], lut) -> per-offset sharded SuffStats tuple — the
     multi-offset sibling of :func:`_sharded_stats_fn` (one fused local pass
     per device sharing the raw/histogram/rescale work across offsets)."""
     if pallas:
         from tpumcia.features.pallas_glcm import _pallas_stats_multi_core
 
-        def local(img_l, w_l, lut):
+        def local(img_l, *rest):
+            w_l, lut = (rest[0], rest[1]) if has_mask else (None, rest[0])
             return _pallas_stats_multi_core(
                 img_l, w_l, lut, levels=levels, offsets=offsets,
-                has_mask=True, interpret=False,
+                has_mask=has_mask, interpret=False, need_diff=need_diff,
             )
 
     else:
         from tpumcia.features.stats import _sufficient_stats_multi_jit
 
-        def local(img_l, w_l, lut):
+        def local(img_l, *rest):
+            if has_mask:
+                w_l, lut = rest
+            else:
+                (lut,) = rest
+                w_l = jnp.ones(img_l.shape, jnp.float32)
             return _sufficient_stats_multi_jit(
                 img_l, w_l, lut, levels=levels, offsets=offsets,
                 chunk_size=chunk_size, onehot_dtype=onehot_dtype,
                 with_intensity=with_intensity,
             )
 
-    spec_one = SuffStats(*([P("data")] * len(SuffStats._fields)))
+    n_in = 2 if has_mask else 1
+    example = [jax.ShapeDtypeStruct(s, d) for s, d in shapes]
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P()),
-        out_specs=tuple(spec_one for _ in offsets),
+        in_specs=tuple([P("data")] * n_in + [P()]),
+        out_specs=_data_out_specs(local, mesh, example),
         check_vma=not pallas,
     )
     return jax.jit(fn)
@@ -166,26 +210,34 @@ def sufficient_stats_sharded_multi(
     onehot_dtype: str = "bfloat16",
     use_pallas: str = "auto",
     with_intensity: bool = True,
+    need_diff_hist: bool = True,
 ) -> tuple[SuffStats, ...]:
     """Fused multi-offset sufficient statistics, batch sharded over the
     mesh's ``data`` axis (skimage list API x SPMD)."""
-    img, w = _prep_inputs(images, mask)
-    n_data = mesh.shape["data"]
-    img, orig_b = _pad_to_multiple(img, n_data)
-    w, _ = _pad_to_multiple(w, n_data)
-    lut = jnp.asarray(rescale_lut(levels))
-
     on_tpu = mesh.devices.flatten()[0].platform == "tpu"
     pallas = use_pallas == "always" or (use_pallas == "auto" and on_tpu)
+    has_mask = mask is not None
 
+    if has_mask:
+        img, w = _prep_inputs(images, mask)
+    else:
+        img = jnp.transpose(jnp.asarray(images), (0, 3, 1, 2)).astype(jnp.int32)
+        w = None
+    n_data = mesh.shape["data"]
+    img, orig_b = _pad_to_multiple(img, n_data)
+    if has_mask:
+        w, _ = _pad_to_multiple(w, n_data)
+    lut = jnp.asarray(rescale_lut(levels))
+
+    args = (img, w, lut) if has_mask else (img, lut)
+    shapes = tuple((tuple(a.shape), jnp.dtype(a.dtype).name) for a in args)
     fn = _sharded_stats_multi_fn(
         mesh, levels, tuple(tuple(o) for o in offsets), chunk_size,
-        onehot_dtype, pallas, with_intensity,
+        onehot_dtype, pallas, with_intensity, has_mask,
+        need_diff_hist if pallas else True, shapes,
     )
-    all_stats = fn(img, w, lut)
-    return tuple(
-        SuffStats(*(s[:orig_b] for s in st)) for st in all_stats
-    )
+    all_stats = fn(*args)
+    return tuple(_trim_stats(st, orig_b) for st in all_stats)
 
 
 def extract_features_sharded(
