@@ -3,11 +3,13 @@
 Replicates the reference's measured workload (BASELINE.md): 12 000 images,
 64x64, 3 channels (1 signal + 2 synthesized noise), 23 features x 3 channels,
 classifier head, and permutation channel importance — the notebook does this
-at 53.46 images/s on one CPU core (ipynb:353). Here the whole pipeline runs
-as batched TPU computations: fused per-batch jit (noise synth -> Pallas stats
-kernel -> hybrid scalar reduction), one packed D2H fetch per batch, O(B*C)
-host f64 assembly, then a device logistic head and the one-jit permutation
-sweeps (channel-grouped and per-feature).
+at 53.46 images/s on one CPU core (ipynb:353).
+
+The timed section is ONE public-API call: ``run_pipeline`` on its fused fast
+path (device-synthesized noise channels, per-batch Pallas v4 extraction with
+the device-resident f32 feature block, one-dispatch logistic fit + both
+permutation sweeps enqueued before the concurrent wire fetches). There is no
+bench-private pipeline — what this prints is what a library user gets.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
@@ -32,198 +34,56 @@ def main() -> None:
     import jax
     import numpy as np
 
-    from tpumcia.config import HeadConfig
-    from tpumcia.features import registry
+    from tpumcia.config import (
+        HeadConfig,
+        PipelineConfig,
+        SplitConfig,
+        SynthConfig,
+    )
     from tpumcia.io.synthetic import synthetic_mednist
-    from tpumcia.models.heads import fit_head
-    from tpumcia.preprocess.synth import add_noise_channels
-    from tpumcia.utils.split import train_test_split_indices
-    from tpumcia.features.extract import FeatureMatrix
+    from tpumcia.pipeline.run import run_pipeline
 
     backend = jax.default_backend()
-    on_tpu = backend == "tpu"
 
     # ---- data (host-side synthetic MedNIST stand-in; not timed, mirrors the
-    # reference's already-on-disk PNGs) ------------------------------------
+    # reference's already-on-disk PNGs). H2D staging is untimed too (the
+    # reference's disk decode is not comparable either way). ---------------
     gray, labels, _ = synthetic_mednist(N_IMAGES // 6, num_classes=6, seed=0)
     gray = gray[:N_IMAGES]
     labels = labels[: len(gray)]
+    gray_dev = jax.device_put(gray)
 
-    # ---- warm-up/compile on a small slice (excluded, like the reference's
-    # excluded import/startup time) ----------------------------------------
-    key = jax.random.key(0)
-
-    import jax.numpy as jnp
-
-    from tpumcia.features.hybrid import (
-        _device_reduce_wire,
-        assemble_reduced,
-        unpack_wire,
-    )
-    from tpumcia.features.pallas_glcm import _pallas_stats_core
-    from tpumcia.features.stats import rescale_lut
-    from tpumcia.features.stats import _sufficient_stats_jit
-
-    lut = jnp.asarray(rescale_lut(256))
-
-    from tpumcia.features.finalize import _finalize
-
-    def _one_batch(args):
-        """synth -> stats kernel -> hybrid scalar reduction, fully on device.
-
-        Returns the packed exact scalars (fetched to host for the f64
-        feature-matrix artifact) AND a device-resident f32 feature block
-        that never leaves the device — the head fit and importance sweeps
-        ride it, so the feature matrix is not re-uploaded through the link.
-        """
-        g, k = args
-        imgs = add_noise_channels(g, k)
-        img = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.int32)
-        if on_tpu:
-            st = _pallas_stats_core(
-                img, None, lut, levels=256, offset=(0, 5), has_mask=False,
-                interpret=False,
-            )
-        else:
-            w = jnp.ones(img.shape, jnp.float32)
-            st = _sufficient_stats_jit(
-                img, w, lut, levels=256, offset=(0, 5), chunk_size=32,
-                onehot_dtype="bfloat16", with_intensity=True, with_glcm=True,
-            )
-        feats_dev = jnp.nan_to_num(
-            _finalize(st, jnp, jnp.float32, True, True).values
-        )
-        return _device_reduce_wire(st), feats_dev
-
-    _one_batch_jit = jax.jit(_one_batch)  # one dispatch per batch
-
-    def fetch_features(outs):
-        from concurrent.futures import ThreadPoolExecutor
-
-        # CONCURRENT per-batch fetches: the remote link's per-transfer
-        # overhead dominates serial chunked D2H (measured 11 MB/s serial vs
-        # 30 MB/s with 6 streams), so each worker fetches its batch's wire
-        # and assembles it on host (numpy releases the GIL for both)
-        def one(out):
-            p, _ = out
-            return np.asarray(assemble_reduced(unpack_wire(np.asarray(p))).values)
-
-        with ThreadPoolExecutor(len(outs)) as ex:
-            return np.concatenate(list(ex.map(one, outs)))
-
-    # pad to a whole number of fixed-size batches (extraction of the padding
-    # rows is real work; the padded rows are dropped before the head)
-    n_pad = (-len(gray)) % BATCH
-    gray_padded = np.concatenate([gray, gray[:n_pad]]) if n_pad else gray
-    gray_dev = jax.device_put(gray_padded)
-    batches = [gray_dev[s : s + BATCH] for s in range(0, len(gray_padded), BATCH)]
-
-    names = registry.feature_names(3)
-
-    from jax.tree_util import Partial
-
-    from tpumcia.models.heads import LogisticHead, _fit_logistic
-    from tpumcia.models.scaler import MinMaxScaler
-    from tpumcia.importance.permutation import (
-        _perm_sweep,
-        _scaled_logistic_apply,
+    cfg = PipelineConfig(
+        synth=SynthConfig(noise_channels=2, seed=0),
+        head=HeadConfig(kind="logistic", num_steps=300),
+        split=SplitConfig(test_size=0.25, seed=0, stratify=True),
+        fast_path="always",
+        batch_size=BATCH,
     )
 
-    head_cfg = HeadConfig(kind="logistic", num_steps=300)
-    N_REPEATS = 10
+    # warm-up: compiles every stage at the real shapes (excluded, like the
+    # reference's excluded import/startup time)
+    run_pipeline(gray_dev, labels, config=cfg)
 
-    def _head_and_sweep(X_dev, tr_idx, te_idx, y_tr_onehot, y_te_idx, masks,
-                        w0, b0, sweep_key):
-        """take -> MinMax fit/transform -> logistic fit -> permutation sweep,
-        ONE device dispatch + ONE packed scalar fetch (each extra dispatch or
-        fetch costs a full round trip through the remote device link). Same
-        math as MinMaxScaler.fit + LogisticHead.fit + permutation_importance."""
-        X_tr = jnp.take(X_dev, tr_idx, axis=0)
-        X_te = jnp.take(X_dev, te_idx, axis=0)
-        dmin = jnp.min(X_tr, axis=0)
-        dmax = jnp.max(X_tr, axis=0)
-        rng = dmax - dmin
-        dscale = jnp.where(rng != 0, 1.0 / jnp.where(rng != 0, rng, 1.0), 1.0)
-        params = _fit_logistic(
-            (X_tr - dmin) * dscale, y_tr_onehot, w0, b0,
-            num_steps=head_cfg.num_steps, lr=head_cfg.learning_rate,
-            l2=head_cfg.l2,
-        )
-        baseline, imp = _perm_sweep(
-            X_te, y_te_idx, masks,
-            sweep_key, Partial(_scaled_logistic_apply, params, dmin, dscale),
-            n_repeats=N_REPEATS,
-        )
-        packed = jnp.concatenate([baseline[None], jnp.mean(imp, axis=1)])
-        return packed, params, dmin, dmax
-
-    _head_and_sweep_jit = jax.jit(_head_and_sweep)
-
-    groups = registry.columns_by_channel_positional(3)
-    F = len(names)
-    all_masks = np.zeros((len(groups) + F, F), np.float32)
-    for g, cols in enumerate(groups):
-        all_masks[g, cols] = 1.0
-    all_masks[len(groups):] = np.eye(F, dtype=np.float32)
-    masks_dev = jnp.asarray(all_masks)
-
-    def full_pipeline():
-        keys = jax.random.split(key, len(batches))
-        outs = [_one_batch_jit((g, k)) for g, k in zip(batches, keys)]
-        X_dev = jnp.concatenate([f for _, f in outs])  # stays on device
-        # head + sweeps ride the device-resident f32 features (the exact
-        # host X below is the returned artifact) — no re-upload of the
-        # feature matrix through the link. Both sweeps (channel-grouped,
-        # ipynb-style per-feature) run inside the one fused dispatch, which
-        # is ENQUEUED BEFORE the wire fetches: its device compute and link
-        # round trip hide under the D2H of the feature-matrix scalars.
-        split = train_test_split_indices(
-            len(gray), test_size=0.25, seed=0, stratify=labels
-        )
-        y_tr = labels[split.train_idx]
-        classes, y_tr_idx = np.unique(y_tr, return_inverse=True)
-        y_te_idx = np.searchsorted(classes, labels[split.test_idx])
-        k = len(classes)
-        w0 = jax.random.normal(
-            jax.random.key(head_cfg.seed), (F, k), jnp.float32
-        ) * 0.01
-        packed, params, dmin, dmax = _head_and_sweep_jit(
-            X_dev[: len(gray)],
-            jnp.asarray(split.train_idx), jnp.asarray(split.test_idx),
-            jax.nn.one_hot(jnp.asarray(y_tr_idx), k),
-            jnp.asarray(y_te_idx, jnp.int32),
-            masks_dev, w0, jnp.zeros((k,), jnp.float32),
-            jax.random.key(42),
-        )
-        X_host = fetch_features(outs)
-        X = np.nan_to_num(X_host.astype(np.float32))[: len(gray)]
-        packed = np.asarray(packed)  # the one head/sweep fetch
-        mean_imp = packed[1:]
-        chan_mean = mean_imp[: len(groups)]
-        feat_mean = mean_imp[len(groups):]
-        feat_chan_total = np.array(
-            [feat_mean[cols].sum() for cols in groups]
-        )
-        head = LogisticHead(
-            params=params, classes=classes,
-            scaler=MinMaxScaler.from_stats(dmin, dmax), config=head_cfg,
-        )
-        return X, split, head, chan_mean, feat_chan_total
-
-    full_pipeline()  # warm-up: compiles every stage at the real shapes
-
-    # ---- timed pipeline (best of 3: the remote device link adds several
-    # hundred ms of run-to-run jitter) ---------------------------------------
+    # ---- timed public-API pipeline (best of 3: the remote device link adds
+    # several hundred ms of run-to-run jitter) -----------------------------
     elapsed = float("inf")
+    result = None
     for _ in range(3):
         t0 = time.perf_counter()
-        X, split, head, chan_mean, feat_chan_total = full_pipeline()
+        result = run_pipeline(gray_dev, labels, config=cfg)
         elapsed = min(elapsed, time.perf_counter() - t0)
 
-    test_acc = head.score(X[split.test_idx], labels[split.test_idx])
     rate = len(gray) / elapsed
+    chan_total = result.channel_result.total
+    feat_chan_total = np.array(
+        [
+            result.feature_result.feature_importances[cols].sum()
+            for cols in result.features.channel_columns()
+        ]
+    )
     ok_ranking = bool(
-        int(np.argmax(chan_mean)) == 0 and int(np.argmax(feat_chan_total)) == 0
+        int(np.argmax(chan_total)) == 0 and int(np.argmax(feat_chan_total)) == 0
     )
 
     print(
@@ -237,18 +97,19 @@ def main() -> None:
                     "backend": backend,
                     "n_images": len(gray),
                     "elapsed_s": round(elapsed, 3),
-                    "test_accuracy": round(test_acc, 4),
+                    "test_accuracy": round(result.test_accuracy, 4),
                     "signal_channel_ranked_first": ok_ranking,
                     # comparison note: the reference's 53.46 img/s includes
                     # per-image PNG decode from disk; here the grayscale
                     # batch is pre-staged on device (data generation and H2D
                     # are untimed) while noise synthesis, feature
-                    # extraction, D2H of the feature matrix, head fit, and
-                    # both importance sweeps are timed.
+                    # extraction, D2H of the feature matrix, head fit, both
+                    # importance sweeps, and the classification report are
+                    # timed — all through the public run_pipeline API.
                     "timed_scope": (
-                        "synth+features+fetch+head+importance; excludes "
-                        "data-gen and H2D staging (reference includes disk "
-                        "decode)"
+                        "run_pipeline(synth+features+fetch+head+importance"
+                        "+report); excludes data-gen and H2D staging "
+                        "(reference includes disk decode)"
                     ),
                 },
             }

@@ -1,0 +1,107 @@
+"""Multi-process (multi-host analogue) initialization path.
+
+Two CPU subprocesses form one JAX distributed runtime via a local
+coordinator (`jax.distributed.initialize`), build a mesh spanning BOTH
+processes' devices, assemble a global data-sharded array, and reduce
+global per-feature min/max with collectives — the multi-host MinMaxScaler
+fit (SURVEY.md §2.4/§5 "jax.distributed.initialize for multi-host").
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import numpy as np
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+from tpumcia.parallel.distributed import init_distributed, process_summary, shard_across_processes
+
+multi = init_distributed(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+)
+assert multi, "expected a 2-process runtime"
+
+import jax
+import jax.numpy as jnp
+
+info = process_summary()
+assert info["process_count"] == 2, info
+assert info["global_devices"] == info["local_devices"] * 2, info
+
+from tpumcia.parallel.mesh import make_mesh
+mesh = make_mesh()  # spans the GLOBAL device list across both processes
+assert mesh.shape["data"] == info["global_devices"], mesh.shape
+
+# per-process local rows -> one global data-sharded matrix
+rows_per_proc = mesh.shape["data"] // 2
+local = (np.arange(rows_per_proc * 3, dtype=np.float32)
+         .reshape(rows_per_proc, 3) + 100.0 * pid)
+X = shard_across_processes(local, mesh)
+assert X.shape == (rows_per_proc * 2, 3), X.shape
+
+# global min/max via collectives over the cross-process mesh
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+def local_minmax(xs):
+    lo = jax.lax.pmin(jnp.min(xs, axis=0, keepdims=True), "data")
+    hi = jax.lax.pmax(jnp.max(xs, axis=0, keepdims=True), "data")
+    return lo, hi
+
+lo, hi = jax.jit(shard_map(
+    local_minmax, mesh=mesh, in_specs=(P("data"),), out_specs=(P(), P())
+))(X)
+# out_specs P() -> fully replicated: every process reads its local copy
+lo = np.asarray(lo.addressable_shards[0].data)
+hi = np.asarray(hi.addressable_shards[0].data)
+expect_lo = np.array([0.0, 1.0, 2.0], np.float32)          # process 0 rows
+expect_hi = expect_lo + 100.0 + 3.0 * (rows_per_proc - 1)  # process 1 rows
+np.testing.assert_allclose(lo[0], expect_lo)
+np.testing.assert_allclose(hi[0], expect_hi)
+print(f"WORKER{pid}_OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_cpu_mesh(tmp_path):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # force the CPU backend in workers
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TPUMCIA_REEXECED"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=repo,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"WORKER{pid}_OK" in out, out

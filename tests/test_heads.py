@@ -175,3 +175,32 @@ def test_rf_head_checkpoint(blobs, tmp_path):
     np.testing.assert_array_equal(
         restored.mdi_importance(), head.mdi_importance()
     )
+
+
+def test_mlp_head_checkpoint(blobs, tmp_path):
+    from tpumcia.models.heads import MLPHead
+
+    X, y = blobs
+    head = fit_head(X, y, config=HeadConfig(kind="mlp", num_steps=150, hidden=(16, 8)))
+    p = tmp_path / "mlp.npz"
+    head.save(p)
+    restored = MLPHead.load(p)
+    np.testing.assert_array_equal(restored.predict(X), head.predict(X))
+    np.testing.assert_allclose(
+        np.asarray(restored.predict_proba(X)), np.asarray(head.predict_proba(X))
+    )
+
+
+def test_device_forest_apply_fn_is_partial(blobs):
+    """apply_fn must be a tree_util.Partial (stable jit identity)."""
+    from jax.tree_util import Partial
+
+    X, y = blobs
+    head = fit_head(X, y, config=HeadConfig(kind="random_forest", n_estimators=5))
+    dev = head.to_device()
+    fn = dev.apply_fn()
+    assert isinstance(fn, Partial)
+    np.testing.assert_allclose(
+        np.asarray(fn(dev._prep(X))), np.asarray(dev.predict_proba(X)),
+        atol=1e-6,
+    )

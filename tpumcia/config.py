@@ -140,6 +140,19 @@ class SplitConfig:
 
 
 @dataclass(frozen=True)
+class SynthConfig:
+    """On-device noise-channel synthesis (the reference's
+    ``add_two_noise_channels``, ipynb:148-156, seeded). With
+    ``noise_channels > 0`` the pipeline accepts (B, H, W) grayscale input and
+    synthesizes the extra channels on device — fused into the per-batch
+    extraction dispatch on the fast path."""
+
+    noise_channels: int = 0  # 0 = input arrives multichannel already
+    var: float = 0.01
+    seed: int = 0
+
+
+@dataclass(frozen=True)
 class MeshConfig:
     """Device-mesh layout. data: batch sharding; model: parameter sharding
     for the CNN path. Sizes of -1 mean "all remaining devices"."""
@@ -155,8 +168,14 @@ class PipelineConfig:
     importance: ImportanceConfig = field(default_factory=ImportanceConfig)
     split: SplitConfig = field(default_factory=SplitConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    synth: SynthConfig = field(default_factory=SynthConfig)
     normalize: str = "minmax"  # feature-matrix scaling before the head
     seed: int = 0
+    # fused fast path (device-resident features + one-dispatch head/sweeps):
+    # 'auto' uses it for large single-device logistic/minmax runs, 'always'
+    # forces it (tests/benchmarks), 'never' disables it.
+    fast_path: str = "auto"
+    batch_size: int = 2048  # fixed extraction batch shape on the fast path
 
     # ------------------------------------------------------------------ io
     def to_dict(self) -> dict[str, Any]:
@@ -213,4 +232,5 @@ _SUBTYPES = {
     "split": SplitConfig,
     "mesh": MeshConfig,
     "glcm": GLCMConfig,
+    "synth": SynthConfig,
 }

@@ -83,7 +83,23 @@ def main(argv=None) -> int:
         "--profile", type=str, default=None,
         help="capture a jax profiler trace of the pipeline into this dir",
     )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help=(
+            "initialize the multi-host JAX runtime before building the mesh "
+            "(jax.distributed.initialize; coordinator/process topology from "
+            "TPU pod metadata or TPUMCIA_COORDINATOR / TPUMCIA_NUM_PROCESSES "
+            "/ TPUMCIA_PROCESS_ID — see launch_eval.sh)"
+        ),
+    )
     args = p.parse_args(argv)
+
+    if args.distributed:
+        from tpumcia.parallel.distributed import init_distributed, process_summary
+
+        multi = init_distributed()
+        print(f"distributed: {process_summary()}"
+              + ("" if multi else " (single process: no coordinator configured)"))
 
     if args.config and not Path(args.config).exists():
         p.error(f"config file not found: {args.config}")

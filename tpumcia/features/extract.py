@@ -9,6 +9,7 @@ device-resident float32 path (``'device'``) as alternatives.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -32,6 +33,10 @@ class FeatureMatrix:
     degenerate: Any = None  # (B, C) bool flags
     config: FeatureConfig = field(default_factory=FeatureConfig)
     channel_names: list[str] | None = None  # display names (h5 contract)
+    # optional device-resident float32 copy of the matrix (NaN-cleaned),
+    # computed inside the extraction dispatches so heads/importance sweeps
+    # can ride it without re-uploading the matrix through the link
+    device_values: Any = None
 
     @property
     def shape(self):
@@ -261,6 +266,232 @@ def extract_features(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "levels", "offset", "use_pallas", "keep_device", "chunk_size",
+        "onehot_dtype", "synth_noise", "synth_var",
+    ),
+)
+def _batch_fused_dispatch(
+    imgs, mask, key, lut, *, levels, offset, use_pallas, keep_device,
+    chunk_size, onehot_dtype, synth_noise=0, synth_var=0.01,
+):
+    """ONE device dispatch per batch: (optional noise synth) -> sufficient
+    statistics -> hybrid u32 wire (+ optionally the NaN-cleaned f32 feature
+    block, which never leaves the device). Each extra dispatch through a
+    remote device link costs real enqueue latency, so the whole per-batch
+    chain is a single jit."""
+    import jax.numpy as jnp
+
+    from tpumcia.features.finalize import _finalize
+    from tpumcia.features.hybrid import _device_reduce_wire
+
+    if synth_noise:
+        from tpumcia.preprocess.synth import add_noise_channels
+
+        imgs = add_noise_channels(
+            imgs, key, num_noise=synth_noise, var=synth_var
+        )
+    if mask is None:
+        img = jnp.transpose(jnp.asarray(imgs), (0, 3, 1, 2)).astype(jnp.int32)
+        w = None
+    else:
+        from tpumcia.features.stats import _prep_inputs
+
+        img, w = _prep_inputs(imgs, mask)
+    if use_pallas:
+        from tpumcia.features.pallas_glcm import _pallas_stats_core
+
+        st = _pallas_stats_core(
+            img, w, lut, levels=levels, offset=offset,
+            has_mask=mask is not None, interpret=False, need_diff=False,
+        )
+    else:
+        from tpumcia.features.stats import _sufficient_stats_jit
+
+        if w is None:
+            w = jnp.ones(img.shape, jnp.float32)
+        st = _sufficient_stats_jit(
+            img, w, lut, levels=levels, offset=offset,
+            chunk_size=chunk_size, onehot_dtype=onehot_dtype,
+            with_intensity=True, with_glcm=True,
+        )
+    wire = _device_reduce_wire(st)
+    feats = (
+        jnp.nan_to_num(_finalize(st, jnp, jnp.float32, True, True).values)
+        if keep_device
+        else None
+    )
+    return wire, feats
+
+
+@dataclass
+class PendingFeatureMatrix:
+    """In-flight batched extraction: dispatches are enqueued, wires not yet
+    fetched. ``device_values`` (if requested) is available immediately for
+    enqueueing downstream device work (head fits, sweeps) BEFORE the wire
+    fetches — the downstream dispatch's compute and link round trip then
+    hide under the feature-matrix D2H."""
+
+    wires: list
+    slices: list
+    n: int
+    names: list[str]
+    num_channels: int
+    config: FeatureConfig
+    channel_names: list[str] | None
+    device_values: Any = None  # (n, F) jax.Array, trimmed, or None
+
+    def result(self) -> FeatureMatrix:
+        """Fetch the per-batch wires CONCURRENTLY (the link's per-transfer
+        setup caps one stream well below aggregate bandwidth) and assemble
+        the exact float64 matrix on worker threads."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from tpumcia.features.hybrid import assemble_reduced, unpack_wire
+
+        levels = self.config.glcm.levels
+
+        def one(args):
+            w, sl = args
+            done = assemble_reduced(unpack_wire(np.asarray(w)), levels=levels)
+            keep = sl.stop - sl.start
+            return done.values[:keep], np.asarray(done.degenerate)[:keep]
+
+        with ThreadPoolExecutor(min(6, len(self.wires))) as ex:
+            results = list(ex.map(one, zip(self.wires, self.slices)))
+
+        return FeatureMatrix(
+            values=np.concatenate([v for v, _ in results]),
+            names=self.names,
+            num_channels=self.num_channels,
+            degenerate=np.concatenate([d for _, d in results]),
+            config=self.config,
+            channel_names=self.channel_names,
+            device_values=self.device_values,
+        )
+
+
+def extract_features_pending(
+    images,
+    mask=None,
+    *,
+    batch_size: int = 2048,
+    config: FeatureConfig | None = None,
+    channel_names: list[str] | None = None,
+    keep_device_values: bool = False,
+    synth_noise: int = 0,
+    synth_var: float = 0.01,
+    synth_seed: int = 0,
+    in_flight: int = 8,
+) -> PendingFeatureMatrix:
+    """Enqueue the batched hybrid extraction and return without fetching.
+
+    Requires the hybrid fast path (single offset, intensity+GLCM, < 2^16
+    pixels/channel) — :func:`extract_features_batched` falls back to
+    sequential per-batch extraction otherwise. With ``synth_noise > 0``,
+    ``images`` is a (N, H, W) grayscale batch and the noise channels are
+    synthesized on device inside each batch's dispatch (seeded per batch).
+
+    ``in_flight`` bounds how many batch dispatches are enqueued before the
+    earliest wires must be fetched (device-memory bound for very large
+    in-memory collections); within a window everything overlaps.
+    """
+    import jax.numpy as jnp
+
+    from tpumcia.features.stats import rescale_lut_device
+
+    cfg = config or FeatureConfig()
+    images = _as_level_array(images)
+    n = len(images)
+    num_channels = (
+        images.shape[-1] if synth_noise == 0 else 1 + synth_noise
+    )
+    if synth_noise and images.ndim != 3:
+        raise ValueError("synth_noise expects (N, H, W) grayscale input")
+    if synth_noise and mask is not None:
+        raise ValueError("synth_noise does not compose with masks")
+
+    import math
+
+    batch_size = min(batch_size, n)
+    num_batches = math.ceil(n / batch_size)
+    slices = [
+        slice(i * batch_size, min((i + 1) * batch_size, n))
+        for i in range(num_batches)
+    ]
+    use_pallas = _resolve_pallas(cfg)
+    offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
+    offset = tuple(offsets[0])
+    lut = rescale_lut_device(cfg.glcm.levels)
+    keys = (
+        jax.random.split(jax.random.key(synth_seed), num_batches)
+        if synth_noise
+        else [None] * num_batches
+    )
+
+    def pad_batch(arr, sl):
+        # wrap-around pad keeps one compiled batch shape; stays on device
+        b = arr[sl]
+        short = batch_size - (sl.stop - sl.start)
+        if short:
+            b = jnp.concatenate([jnp.asarray(b), jnp.asarray(arr[:short])])
+        return b
+
+    wires, feats = [], []
+    for i, sl in enumerate(slices):
+        if i >= in_flight and not (i - in_flight) % in_flight:
+            # bound device residency: force the oldest outstanding window
+            # to finish before enqueueing more (values stay on device; this
+            # only gates the enqueue pace for very large collections)
+            wires[i - in_flight].block_until_ready()
+        imgs_b = pad_batch(images, sl)
+        mask_b = pad_batch(mask, sl) if mask is not None else None
+        wire, f = _batch_fused_dispatch(
+            imgs_b, mask_b, keys[i], lut,
+            levels=cfg.glcm.levels, offset=offset, use_pallas=use_pallas,
+            keep_device=keep_device_values, chunk_size=cfg.chunk_size,
+            onehot_dtype=cfg.onehot_dtype, synth_noise=synth_noise,
+            synth_var=synth_var,
+        )
+        wires.append(wire)
+        if keep_device_values:
+            feats.append(f)
+
+    device_values = None
+    if keep_device_values:
+        device_values = (
+            jnp.concatenate(feats)[:n] if len(feats) > 1 else feats[0][:n]
+        )
+
+    names = registry.feature_names(num_channels, channel_names=channel_names)
+    return PendingFeatureMatrix(
+        wires=wires,
+        slices=slices,
+        n=n,
+        names=names,
+        num_channels=num_channels,
+        config=cfg,
+        channel_names=list(channel_names) if channel_names else None,
+        device_values=device_values,
+    )
+
+
+def batched_fast_path_ok(images_shape, cfg: FeatureConfig) -> bool:
+    """True when the fused batched hybrid wire path applies."""
+    offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
+    return (
+        cfg.precision == "hybrid"
+        and cfg.glcm.levels <= 256
+        and images_shape[1] * images_shape[2] < 65536
+        and not cfg.include_morphology
+        and cfg.include_intensity
+        and cfg.include_glcm
+        and len(offsets) == 1
+    )
+
+
 def extract_features_batched(
     images,
     mask=None,
@@ -268,14 +499,19 @@ def extract_features_batched(
     batch_size: int = 2048,
     config: FeatureConfig | None = None,
     channel_names: list[str] | None = None,
+    keep_device_values: bool = False,
+    in_flight: int = 8,
 ) -> FeatureMatrix:
     """Large-collection extraction as a pipeline of fixed-size batches.
 
-    One fused device dispatch per batch (all batches enqueued up front),
-    then the per-batch exact-scalar wires are fetched CONCURRENTLY and
-    assembled to float64 on worker threads — the same overlap discipline as
-    the headline benchmark, exposed as a library call. A single fixed batch
-    shape also avoids one giant (or many diverse) XLA/Mosaic compiles.
+    One fused device dispatch per batch (up to ``in_flight`` windows
+    enqueued ahead), then the per-batch exact-scalar wires are fetched
+    CONCURRENTLY and assembled to float64 on worker threads — the same
+    overlap discipline as the headline benchmark, exposed as a library
+    call. A single fixed batch shape also avoids one giant (or many
+    diverse) XLA/Mosaic compiles. ``keep_device_values=True`` additionally
+    returns a device-resident NaN-cleaned f32 copy of the matrix
+    (``FeatureMatrix.device_values``) computed inside the same dispatches.
 
     Values are identical to :func:`extract_features` (per-image statistics
     are exact). Falls back to sequential per-batch extraction for
@@ -285,31 +521,20 @@ def extract_features_batched(
     cfg = config or FeatureConfig()
     images = _as_level_array(images)
     n = len(images)
-    if n <= batch_size:
+    fast = batched_fast_path_ok(images.shape, cfg)
+    if n <= batch_size and not (fast and keep_device_values):
         return extract_features(
             images, mask=mask, config=cfg, channel_names=channel_names
         )
 
-    offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
-    fast = (
-        cfg.precision == "hybrid"
-        and cfg.glcm.levels <= 256
-        and images.shape[1] * images.shape[2] < 65536
-        and not cfg.include_morphology
-        and cfg.include_intensity
-        and cfg.include_glcm
-        and len(offsets) == 1
-    )
-
-    import math
-
-    num_batches = math.ceil(n / batch_size)
-    slices = [
-        slice(i * batch_size, min((i + 1) * batch_size, n))
-        for i in range(num_batches)
-    ]
-
     if not fast:
+        import math
+
+        num_batches = math.ceil(n / batch_size)
+        slices = [
+            slice(i * batch_size, min((i + 1) * batch_size, n))
+            for i in range(num_batches)
+        ]
         fms = [
             extract_features(
                 images[sl],
@@ -331,66 +556,11 @@ def extract_features_batched(
             channel_names=out.channel_names,
         )
 
-    import jax.numpy as jnp
-
-    from tpumcia.features.hybrid import (
-        _device_reduce_wire,
-        assemble_reduced,
-        unpack_wire,
-    )
-
-    use_pallas = _resolve_pallas(cfg)
-    offset = tuple(offsets[0])
-
-    def pad_batch(arr, sl):
-        # wrap-around pad keeps one compiled batch shape; stays on device
-        b = arr[sl]
-        short = batch_size - (sl.stop - sl.start)
-        if short:
-            b = jnp.concatenate([jnp.asarray(b), jnp.asarray(arr[:short])])
-        return b
-
-    wires = []
-    for sl in slices:
-        imgs_b = pad_batch(images, sl)
-        mask_b = pad_batch(mask, sl) if mask is not None else None
-        if use_pallas:
-            from tpumcia.features.pallas_glcm import sufficient_stats_pallas
-
-            stats = sufficient_stats_pallas(
-                imgs_b, mask_b, levels=cfg.glcm.levels, offset=offset,
-                need_diff_hist=False,
-            )
-        else:
-            stats = sufficient_stats(
-                imgs_b, mask_b, levels=cfg.glcm.levels, offset=offset,
-                chunk_size=cfg.chunk_size, onehot_dtype=cfg.onehot_dtype,
-            )
-        wires.append(_device_reduce_wire(stats))  # async dispatch
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    def one(args):
-        w, sl = args
-        done = assemble_reduced(
-            unpack_wire(np.asarray(w)), levels=cfg.glcm.levels
-        )
-        keep = sl.stop - sl.start
-        return done.values[:keep], np.asarray(done.degenerate)[:keep]
-
-    with ThreadPoolExecutor(min(6, len(wires))) as ex:
-        results = list(ex.map(one, zip(wires, slices)))
-
-    num_channels = images.shape[-1]
-    names = registry.feature_names(num_channels, channel_names=channel_names)
-    return FeatureMatrix(
-        values=np.concatenate([v for v, _ in results]),
-        names=names,
-        num_channels=num_channels,
-        degenerate=np.concatenate([d for _, d in results]),
-        config=cfg,
-        channel_names=list(channel_names) if channel_names else None,
-    )
+    return extract_features_pending(
+        images, mask,
+        batch_size=batch_size, config=cfg, channel_names=channel_names,
+        keep_device_values=keep_device_values, in_flight=in_flight,
+    ).result()
 
 
 def _as_level_array(images):

@@ -295,19 +295,38 @@ def unpack_wire(packed: np.ndarray) -> dict:
     return out
 
 
-def _fetch_concurrent(arr, num_chunks: int = 6, min_bytes: int = 1 << 20) -> np.ndarray:
-    """D2H fetch of a device array, split into concurrent row-chunk
-    transfers when large. The remote device link's per-transfer setup caps
-    one stream well below its aggregate bandwidth (measured ~11 MB/s serial
-    chunked, 27 MB/s one transfer, 30 MB/s with 6 streams)."""
-    if getattr(arr, "nbytes", 0) < min_bytes or arr.shape[0] < num_chunks:
-        return np.asarray(arr)
-    from concurrent.futures import ThreadPoolExecutor
+_FETCH_POOL = None
 
-    bounds = np.linspace(0, arr.shape[0], num_chunks + 1, dtype=int)
-    parts = [arr[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
-    with ThreadPoolExecutor(num_chunks) as ex:
+
+def _fetch_pool():
+    """Module-level fetch executor (pool setup/teardown per call costs real
+    time on a throttled host)."""
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _FETCH_POOL = ThreadPoolExecutor(6, thread_name_prefix="tpumcia-fetch")
+    return _FETCH_POOL
+
+
+def _fetch_concurrent(arr, num_chunks: int = 6, min_bytes: int = 1 << 20) -> np.ndarray:
+    """D2H fetch of a device array, split into concurrent chunk transfers
+    when large. The remote device link's per-transfer setup caps one stream
+    well below its aggregate bandwidth (measured ~11 MB/s serial chunked,
+    27 MB/s one transfer, 30 MB/s with 6 streams). Splits on the leading
+    axis, or the second axis for small-B/large-C extractions."""
+    if getattr(arr, "nbytes", 0) < min_bytes:
+        return np.asarray(arr)
+    ex = _fetch_pool()
+    if arr.shape[0] >= num_chunks:
+        bounds = np.linspace(0, arr.shape[0], num_chunks + 1, dtype=int)
+        parts = [arr[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
         return np.concatenate(list(ex.map(np.asarray, parts)))
+    if arr.ndim >= 2 and arr.shape[1] >= num_chunks:
+        bounds = np.linspace(0, arr.shape[1], num_chunks + 1, dtype=int)
+        parts = [arr[:, a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+        return np.concatenate(list(ex.map(np.asarray, parts)), axis=1)
+    return np.asarray(arr)
 
 
 def finalize_hybrid(

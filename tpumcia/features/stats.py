@@ -84,6 +84,13 @@ def rescale_lut(levels: int = 256) -> np.ndarray:
     return lut
 
 
+@functools.lru_cache(maxsize=8)
+def rescale_lut_device(levels: int = 256):
+    """Device-resident copy of :func:`rescale_lut` (cached — repeated
+    pipeline calls must not re-upload the 256 KB table through the link)."""
+    return jnp.asarray(rescale_lut(levels))
+
+
 def _glcm_sumsq_limbs(glcm_i32, reduce_axes):
     """Exact integer limbs of ``sum(G^2)`` over int32 co-occurrence counts.
 

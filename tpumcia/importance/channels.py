@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import numpy as np
 
 from tpumcia.config import ImportanceConfig
@@ -205,13 +206,18 @@ def channel_importance(
     y = eval_labels
     if X is None:
         X, y = features.values, labels
+        if features.device_values is not None:
+            X = features.device_values  # ride the device-resident copy
+    # a device-resident X stays on device through the jitted sweeps
+    # (np.asarray here would fetch + re-upload the whole matrix)
+    X_arr = X if isinstance(X, jax.Array) else np.asarray(X)
     if y is None:
         raise ValueError(f"method {method!r} needs labels for scoring")
 
     if method == "permutation":
         groups = features.channel_columns()
         res = _sweep(
-            head, np.asarray(X), y, n_repeats=cfg.n_repeats, seed=cfg.seed,
+            head, X_arr, y, n_repeats=cfg.n_repeats, seed=cfg.seed,
             groups=groups, mesh=mesh,
         )
         per_channel = [res.importances[c] for c in range(C)]
@@ -237,7 +243,7 @@ def channel_importance(
 
     if method == "permutation_features":
         res = _sweep(
-            head, np.asarray(X), y, n_repeats=cfg.n_repeats, seed=cfg.seed,
+            head, X_arr, y, n_repeats=cfg.n_repeats, seed=cfg.seed,
             groups=None, mesh=mesh,
         )
         out = aggregate_channel_importance(
@@ -253,7 +259,7 @@ def channel_importance(
         from tpumcia.importance.ablation import channel_ablation_importance
 
         drops = channel_ablation_importance(
-            head, np.asarray(X), y, features.channel_columns(),
+            head, X_arr, y, features.channel_columns(),
         )
         per_channel = [np.array([d]) for d in drops]
         return ChannelImportanceResult(

@@ -68,6 +68,16 @@ def _forest_proba(X, feature, threshold, left, right, leaf_proba, *, depth: int)
     return _forest_proba_impl(X, feature, threshold, left, right, leaf_proba, depth)
 
 
+def _apply_lockstep(feature, threshold, left, right, leaf_proba, depth, X):
+    """Partial-friendly argument order (head arrays first, X last) for the
+    lock-step descent — same shape as permutation._scaled_forest_apply."""
+    return _forest_proba_impl(X, feature, threshold, left, right, leaf_proba, depth)
+
+
+def _apply_gemm(g_feature, g_threshold, A, target, g_leaf_proba, X):
+    return _forest_proba_gemm_impl(X, g_feature, g_threshold, A, target, g_leaf_proba)
+
+
 # maximum padded (leaves x internal-nodes) per tree for the GEMM path; above
 # this the dense path matrix costs more than the lock-step gathers
 _GEMM_MAX_CELLS = 1 << 20
@@ -243,22 +253,19 @@ class DeviceForest:
 
     # -- pure scoring parts (for vmapped importance sweeps) -----------------
     def apply_fn(self):
-        """Returns a pure ``f(X_scaled) -> (S, K) proba`` closure over the
-        packed arrays (jit/vmap-compatible)."""
+        """Returns a pure ``f(X_scaled) -> (S, K) proba`` as a
+        ``jax.tree_util.Partial`` over module-level functions (array leaves
+        only), so jits keyed on it cache across calls — the same
+        stable-identity convention as every other head's apply path."""
+        from jax.tree_util import Partial
+
         if self.gemm is not None:
-            arrs = self.gemm
-
-            def f(X):
-                return _forest_proba_gemm(X, *arrs)
-
-            return f
-        arrs = (self.feature, self.threshold, self.left, self.right, self.leaf_proba)
-        depth = self.depth
-
-        def f(X):
-            return _forest_proba(X, *arrs, depth=depth)
-
-        return f
+            return Partial(_apply_gemm, *self.gemm)
+        return Partial(
+            _apply_lockstep,
+            self.feature, self.threshold, self.left, self.right,
+            self.leaf_proba, self.depth,
+        )
 
     def _prep(self, X):
         X = jnp.asarray(X, jnp.float32)

@@ -225,6 +225,48 @@ class MLPHead:
     def score(self, X, y) -> float:
         return float(np.mean(self.predict(X) == np.asarray(y)))
 
+    def save(self, path) -> None:
+        """npz checkpoint (layer params + classes + scaler), mirroring
+        ``LogisticHead.save`` — SURVEY.md §5 checkpoint plan."""
+        payload = {
+            "num_hidden": np.int64(len(self.params["hidden"])),
+            "out_w": np.asarray(self.params["out"]["w"]),
+            "out_b": np.asarray(self.params["out"]["b"]),
+            "classes": np.asarray(self.classes),
+        }
+        for i, layer in enumerate(self.params["hidden"]):
+            payload[f"hidden{i}_w"] = np.asarray(layer["w"])
+            payload[f"hidden{i}_b"] = np.asarray(layer["b"])
+        if self.scaler is not None:
+            payload["scaler_min"] = np.asarray(self.scaler.data_min)
+            payload["scaler_max"] = np.asarray(self.scaler.data_max)
+        np.savez(path, **payload)
+
+    @classmethod
+    def load(cls, path) -> "MLPHead":
+        with np.load(path, allow_pickle=False) as z:
+            scaler = None
+            if "scaler_min" in z:
+                scaler = MinMaxScaler.from_stats(z["scaler_min"], z["scaler_max"])
+            hidden = tuple(
+                {
+                    "w": jnp.asarray(z[f"hidden{i}_w"]),
+                    "b": jnp.asarray(z[f"hidden{i}_b"]),
+                }
+                for i in range(int(z["num_hidden"]))
+            )
+            return cls(
+                params={
+                    "hidden": hidden,
+                    "out": {
+                        "w": jnp.asarray(z["out_w"]),
+                        "b": jnp.asarray(z["out_b"]),
+                    },
+                },
+                classes=z["classes"],
+                scaler=scaler,
+            )
+
     @classmethod
     def fit(
         cls,

@@ -1,4 +1,9 @@
 from tpumcia.parallel.mesh import make_mesh, data_sharding, replicated
+from tpumcia.parallel.distributed import (
+    init_distributed,
+    shard_across_processes,
+    process_summary,
+)
 from tpumcia.parallel.sharding import (
     extract_features_sharded,
     sufficient_stats_sharded,
@@ -8,6 +13,9 @@ from tpumcia.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "init_distributed",
+    "shard_across_processes",
+    "process_summary",
     "data_sharding",
     "replicated",
     "extract_features_sharded",

@@ -43,6 +43,88 @@ class PipelineResult:
         return "\n".join(lines)
 
 
+def _fast_path_ok(cfg: PipelineConfig, images, mask, mesh) -> bool:
+    """The fused fast path: device-resident features + one-dispatch
+    logistic head fit/sweeps (the round-2 bench plumbing, productized)."""
+    from tpumcia.features.extract import batched_fast_path_ok
+
+    if cfg.fast_path == "never" or mesh is not None:
+        return False
+    if cfg.head.kind != "logistic" or cfg.normalize != "minmax":
+        return False
+    if cfg.synth.noise_channels > 0 and (images.ndim != 3 or mask is not None):
+        return False
+    if cfg.synth.noise_channels == 0 and images.ndim != 4:
+        return False
+    if not batched_fast_path_ok(images.shape, cfg.features):
+        return False
+    return cfg.fast_path == "always" or len(images) > 4096
+
+
+def _run_pipeline_fast(
+    images, labels, *, mask, cfg, channel_names, groups
+) -> PipelineResult:
+    """Fused flow: per-batch extraction dispatches also produce a
+    device-resident f32 feature block; the head fit + both permutation
+    sweeps are ONE further dispatch enqueued BEFORE the wire fetches (its
+    compute and link round trip hide under the feature-matrix D2H)."""
+    from tpumcia.features import registry
+    from tpumcia.features.extract import extract_features_pending
+    from tpumcia.models.fused import fit_logistic_with_importance
+
+    labels = np.asarray(labels)
+    timings: dict[str, float] = {}
+    synth_n = cfg.synth.noise_channels
+
+    t0 = time.perf_counter()
+    pending = extract_features_pending(
+        images, mask,
+        batch_size=cfg.batch_size, config=cfg.features,
+        channel_names=channel_names, keep_device_values=True,
+        synth_noise=synth_n, synth_var=cfg.synth.var,
+        synth_seed=cfg.synth.seed,
+    )
+    X_dev = pending.device_values
+
+    split = train_test_split_indices(
+        pending.n,
+        test_size=cfg.split.test_size,
+        seed=cfg.split.seed,
+        stratify=labels if cfg.split.stratify else None,
+        groups=groups if cfg.split.group_by else None,
+    )
+    col_groups = registry.columns_by_channel_positional(pending.num_channels)
+    fit_pending = fit_logistic_with_importance(
+        X_dev, labels,
+        train_idx=split.train_idx, test_idx=split.test_idx,
+        groups=col_groups, names=pending.names,
+        head_config=cfg.head, importance_config=cfg.importance,
+        channel_names=pending.channel_names, defer=True,
+    )
+    fm = pending.result()  # concurrent wire fetches overlap the head dispatch
+    timings["features_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = fit_pending.result()  # the one packed head/sweep fetch
+    y_te = labels[split.test_idx]
+    test_acc = accuracy(y_te, res.y_pred)
+    report = classification_report(y_te, res.y_pred)
+    timings["fit_s"] = time.perf_counter() - t0
+    timings["importance_s"] = 0.0  # fused into the fit dispatch
+
+    return PipelineResult(
+        features=fm,
+        head=res.head,
+        test_accuracy=test_acc,
+        report=report,
+        channel_result=res.channel_result,
+        feature_result=res.feature_result,
+        train_idx=split.train_idx,
+        test_idx=split.test_idx,
+        timings=timings,
+    )
+
+
 def run_pipeline(
     images,
     labels,
@@ -60,6 +142,15 @@ def run_pipeline(
     With ``config.mesh`` resolving to more than one device (``data=-1`` uses
     all of them), the extraction, scaler fit, and permutation sweeps run SPMD
     over the mesh's ``data`` axis (SURVEY.md §2.4).
+
+    With ``config.synth.noise_channels > 0``, ``images`` is a (B, H, W)
+    grayscale batch and the noise channels are synthesized on device
+    (seeded; the reference's ``add_two_noise_channels``, ipynb:148-156).
+
+    Large single-device logistic/minmax runs take the fused fast path
+    (``config.fast_path``): device-resident features, one-dispatch head fit
+    + permutation sweeps — the headline-benchmark plumbing as the public
+    API.
     """
     from tpumcia.parallel.mesh import mesh_from_config
 
@@ -67,6 +158,31 @@ def run_pipeline(
     labels = np.asarray(labels)
     timings: dict[str, float] = {}
     mesh = mesh_from_config(cfg.mesh)
+
+    images_arr = images if hasattr(images, "shape") else np.asarray(images)
+    if _fast_path_ok(cfg, images_arr, mask, mesh):
+        return _run_pipeline_fast(
+            images_arr, labels, mask=mask, cfg=cfg,
+            channel_names=channel_names, groups=groups,
+        )
+
+    if cfg.synth.noise_channels > 0:
+        if images_arr.ndim != 3:
+            raise ValueError(
+                "synth.noise_channels expects (B, H, W) grayscale input"
+            )
+        import jax
+
+        from tpumcia.preprocess.synth import add_noise_channels
+
+        images = np.asarray(
+            add_noise_channels(
+                jax.numpy.asarray(images_arr),
+                jax.random.key(cfg.synth.seed),
+                num_noise=cfg.synth.noise_channels,
+                var=cfg.synth.var,
+            )
+        )
 
     t0 = time.perf_counter()
     if mesh is None and len(images) > 4096:
