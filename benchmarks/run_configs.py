@@ -238,7 +238,11 @@ def config5_streaming(n=16384, shard=2048):
     imgs = imgs[:n]
 
     def fetch(idx):
-        return imgs[idx], None, None
+        # contiguous view, no copy — stream_extract always requests
+        # contiguous index ranges, and the throttled host's numpy copies
+        # (~25 MB/s) would otherwise dominate the ingest pipeline
+        idx = np.asarray(idx)
+        return imgs[int(idx[0]) : int(idx[-1]) + 1], None, None
 
     out = tempfile.mkdtemp()
     try:
@@ -252,6 +256,7 @@ def config5_streaming(n=16384, shard=2048):
             "n_objects": n,
             "shards": res.shards_computed,
             "reported_rate": res.images_per_second,
+            "profile": res.profile,
         }
     finally:
         shutil.rmtree(out, ignore_errors=True)

@@ -260,3 +260,38 @@ def test_batched_extraction_matches_single(small_batch, rng):
         np.asarray(got2.values), np.asarray(ref2.values), atol=1e-9,
         equal_nan=True,
     )
+
+
+def test_glcm_matrix_list_api_matches_oracle(rng):
+    """skimage list API (the reference call form, ipynb:298): a 2x2
+    distance/angle grid returns (B, C, L, L, D, A) with each plane equal to
+    the oracle's graycomatrix."""
+    import math
+
+    img = (rng.random((2, 16, 16, 2)) * 256).astype(np.uint8)
+    img[:, 0, 0, :] = 255
+    distances, angles = [1, 5], [0.0, math.pi / 2]
+    mats = np.asarray(
+        glcm_matrix(img, levels=256, distances=distances, angles=angles)
+    )
+    assert mats.shape == (2, 2, 256, 256, 2, 2)
+    for b in range(2):
+        for c in range(2):
+            plane = img[b, :, :, c] / 255.0
+            scaled = ((plane / plane.max()) * 255.0).astype(np.uint8)
+            ref = oracle.graycomatrix(scaled, distances, angles, levels=256)
+            np.testing.assert_array_equal(
+                mats[b, c], ref, err_msg=f"b={b} c={c}"
+            )
+
+
+def test_glcm_matrix_list_api_degenerate_offset(rng):
+    """A (distance, angle) pair whose offset exceeds the image yields a zero
+    matrix (skimage semantics), not an error."""
+    img = (rng.random((1, 8, 8, 1)) * 256).astype(np.uint8)
+    img[:, 0, 0, :] = 255
+    mats = np.asarray(
+        glcm_matrix(img, levels=256, distances=[3, 64], angles=[0.0])
+    )
+    assert mats[0, 0, :, :, 1, 0].sum() == 0
+    assert mats[0, 0, :, :, 0, 0].sum() > 0

@@ -194,6 +194,31 @@ def test_pallas_compiled_on_tpu(small_batch):
 
 
 @pytest.mark.tpu
+def test_pallas_fast_path_compiled_on_tpu(small_batch):
+    """The v4 reduced kernel (wire path) compiled on hardware."""
+    from tpumcia.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    full = sufficient_stats_pallas(small_batch)
+    fast = sufficient_stats_pallas(small_batch, need_diff_hist=False)
+    _assert_fast_stats_match(full, fast)
+
+
+@pytest.mark.tpu
+def test_pallas_masked_compiled_on_tpu(small_batch, rng):
+    """The masked kernel specialisation compiled on hardware."""
+    from tpumcia.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    mask = rng.random(small_batch.shape) > 0.3
+    ref = sufficient_stats(small_batch, mask)
+    got = sufficient_stats_pallas(small_batch, mask)
+    _assert_stats_equal(ref, got)
+    fast = sufficient_stats_pallas(small_batch, mask, need_diff_hist=False)
+    _assert_fast_stats_match(ref, fast)
+
+
+@pytest.mark.tpu
 def test_full_pipeline_compiled_on_tpu(small_batch):
     """End-to-end (Pallas stats -> hybrid finalize -> head -> channel
     permutation) compiled on the real chip."""

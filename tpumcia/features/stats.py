@@ -423,10 +423,12 @@ def glcm_matrix(
     *,
     levels: int = 256,
     offset=(0, 5),
+    distances=None,
+    angles=None,
     symmetric: bool = False,
     normed: bool = False,
 ) -> jax.Array:
-    """(B, C, L, L) co-occurrence matrices (float32, exact counts).
+    """Co-occurrence matrices (float32, exact counts).
 
     API parity with ``skimage.feature.graycomatrix`` — including its
     ``symmetric`` (add the transpose) and ``normed`` (divide each matrix by
@@ -434,7 +436,32 @@ def glcm_matrix(
     path never materialises it in HBM. Applies the reference's per-channel
     max rescale first (ipynb:293-298; the reference uses the defaults
     ``symmetric=False, normed=False``).
+
+    Two call forms:
+
+    * ``offset=(dr, dc)`` (framework form) -> ``(B, C, L, L)``.
+    * ``distances=[...], angles=[...]`` (the skimage list API the reference
+      calls at ipynb:298: ``greycomatrix(temp, distances=[5], angles=[0],
+      levels=256)``) -> ``(B, C, L, L, D, A)``, one matrix per (distance,
+      angle) with ``(dr, dc) = (round(d sin a), round(d cos a))``. The
+      rescale/one-hot prologue is shared across all pairs. Pairs whose
+      offset leaves no valid positions yield a zero matrix (skimage
+      semantics).
     """
+    import math
+
+    list_api = distances is not None or angles is not None
+    if list_api:
+        distances = tuple(distances if distances is not None else (5,))
+        angles = tuple(angles if angles is not None else (0.0,))
+        offsets = tuple(
+            (int(round(math.sin(a) * d)), int(round(math.cos(a) * d)))
+            for d in distances
+            for a in angles
+        )
+    else:
+        offsets = (tuple(offset),)
+
     img, w = _prep_inputs(images, mask)
     lut = jnp.asarray(rescale_lut(levels))
 
@@ -451,24 +478,39 @@ def glcm_matrix(
                 .astype(jnp.int32)
                 .reshape(C, H, W)
             )
-            dr, dc = offset
-            r0, r1 = max(0, -dr), H - max(0, dr)
-            c0, c1 = max(0, -dc), W - max(0, dc)
-            left = resc[:, r0:r1, c0:c1].reshape(C, -1)
-            right = resc[:, r0 + dr : r1 + dr, c0 + dc : c1 + dc].reshape(C, -1)
-            pw = (
-                w1[:, r0:r1, c0:c1] * w1[:, r0 + dr : r1 + dr, c0 + dc : c1 + dc]
-            ).reshape(C, -1)
-            oh_l = _one_hot(left, levels, f32) * pw[..., None]
-            oh_r = _one_hot(right, levels, f32)
-            g = jnp.einsum("cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32)
-            if symmetric:
-                g = g + jnp.swapaxes(g, -1, -2)
-            if normed:
-                s = jnp.sum(g, axis=(-1, -2), keepdims=True)
-                g = g / jnp.where(s == 0, 1.0, s)
-            return g
+            planes = []
+            for dr, dc in offsets:
+                r0, r1 = max(0, -dr), H - max(0, dr)
+                c0, c1 = max(0, -dc), W - max(0, dc)
+                if r0 >= r1 or c0 >= c1:
+                    planes.append(jnp.zeros((C, levels, levels), f32))
+                    continue
+                left = resc[:, r0:r1, c0:c1].reshape(C, -1)
+                right = resc[
+                    :, r0 + dr : r1 + dr, c0 + dc : c1 + dc
+                ].reshape(C, -1)
+                pw = (
+                    w1[:, r0:r1, c0:c1]
+                    * w1[:, r0 + dr : r1 + dr, c0 + dc : c1 + dc]
+                ).reshape(C, -1)
+                oh_l = _one_hot(left, levels, f32) * pw[..., None]
+                oh_r = _one_hot(right, levels, f32)
+                g = jnp.einsum(
+                    "cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32
+                )
+                if symmetric:
+                    g = g + jnp.swapaxes(g, -1, -2)
+                if normed:
+                    s = jnp.sum(g, axis=(-1, -2), keepdims=True)
+                    g = g / jnp.where(s == 0, 1.0, s)
+                planes.append(g)
+            return jnp.stack(planes)  # (O, C, L, L)
 
         return jax.lax.map(lambda xw: one(xw[0], xw[1]), (img, w), batch_size=8)
 
-    return run(img, w)
+    out = run(img, w)  # (B, O, C, L, L)
+    if not list_api:
+        return out[:, 0]
+    B = out.shape[0]
+    out = jnp.moveaxis(out, 1, -1)  # (B, C, L, L, O)
+    return out.reshape(B, out.shape[1], levels, levels, len(distances), len(angles))

@@ -24,7 +24,15 @@ def batched_indices(n: int, batch_size: int, *, drop_remainder: bool = False):
 
 class PrefetchLoader:
     """Iterate ``fetch(idx) -> batch`` over index chunks with ``depth``
-    batches prepared ahead by a background thread."""
+    batches prepared ahead by a background thread.
+
+    With ``stage`` given, decode and staging run as SEPARATE pipeline
+    threads: the fetch thread decodes chunk i+2 while the stage thread
+    (typically ``jax.device_put`` — the H2D upload) stages chunk i+1 and
+    the consumer computes on chunk i. Steady-state cost per chunk is then
+    ``max(decode, upload, compute)`` instead of ``decode + upload``
+    serialised in one worker.
+    """
 
     def __init__(
         self,
@@ -35,6 +43,7 @@ class PrefetchLoader:
         depth: int = 2,
         drop_remainder: bool = False,
         chunks: list[np.ndarray] | None = None,
+        stage: Callable[[object], object] | None = None,
     ):
         if chunks is None:
             if n is None or batch_size is None:
@@ -45,6 +54,7 @@ class PrefetchLoader:
         self._fetch = fetch
         self._chunks = list(chunks)
         self._depth = depth
+        self._stage = stage
 
     @property
     def chunks(self) -> list[np.ndarray]:
@@ -57,17 +67,54 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self._depth)
         stop = object()
 
-        def producer():
+        def pump(source, sink, work):
             try:
-                for idx in self._chunks:
-                    q.put(("ok", self._fetch(idx)))
-            except BaseException as e:  # surface worker errors to the consumer
-                q.put(("err", e))
+                for kind, item in source():
+                    if kind != "ok":
+                        sink.put((kind, item))
+                        return
+                    sink.put(("ok", work(item)))
+            except BaseException as e:  # surface worker errors downstream
+                sink.put(("err", e))
             finally:
-                q.put(("end", stop))
+                sink.put(("end", stop))
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        def chunk_source():
+            for idx in self._chunks:
+                yield ("ok", idx)
+
+        threads = []
+        if self._stage is None:
+            threads.append(
+                threading.Thread(
+                    target=pump, args=(chunk_source, q, self._fetch),
+                    daemon=True,
+                )
+            )
+        else:
+            mid: queue.Queue = queue.Queue(maxsize=self._depth)
+
+            def mid_source():
+                while True:
+                    kind, item = mid.get()
+                    if kind == "end":
+                        return
+                    yield (kind, item)
+
+            threads.append(
+                threading.Thread(
+                    target=pump, args=(chunk_source, mid, self._fetch),
+                    daemon=True,
+                )
+            )
+            threads.append(
+                threading.Thread(
+                    target=pump, args=(mid_source, q, self._stage),
+                    daemon=True,
+                )
+            )
+        for t in threads:
+            t.start()
         while True:
             kind, item = q.get()
             if kind == "err":

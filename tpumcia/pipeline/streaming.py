@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable
 
@@ -33,6 +33,11 @@ class StreamResult:
     shards_computed: int
     shards_skipped: int
     images_per_second: float
+    # per-stage profile (seconds summed over computed shards): where the
+    # streaming wall clock actually went — 'ingest_wait' is time the consumer
+    # spent blocked on the decode/upload pipeline (host/link bound),
+    # 'device' the synchronous extract+fetch, 'save' the shard write
+    profile: dict = field(default_factory=dict)
 
 
 def _manifest_path(out_dir: Path) -> Path:
@@ -110,13 +115,14 @@ def stream_extract(
         else:
             pending.append((start, stop))
 
+    stage = None
     if stage_on_device and mesh is None:
         import jax
 
-        inner_fetch = fetch
-
-        def fetch(idx):  # noqa: F811 - deliberate staging wrapper
-            images, mask, labels = inner_fetch(idx)
+        def stage(batch):
+            # H2D upload as its own pipeline stage: overlaps BOTH the next
+            # shard's decode and the previous shard's device reduction
+            images, mask, labels = batch
             images = jax.device_put(images)
             if mask is not None:
                 mask = jax.device_put(mask)
@@ -127,16 +133,27 @@ def stream_extract(
 
         chunks = [np.arange(s, e) for s, e in pending]
         batches = iter(
-            PrefetchLoader(fetch, chunks=chunks, depth=prefetch_depth)
+            PrefetchLoader(
+                fetch, chunks=chunks, depth=prefetch_depth, stage=stage
+            )
         )
     else:
-        batches = (fetch(np.arange(s, e)) for s, e in pending)
+        if stage is None:
+            batches = (fetch(np.arange(s, e)) for s, e in pending)
+        else:
+            batches = (stage(fetch(np.arange(s, e))) for s, e in pending)
 
     computed = 0
     computed_imgs = 0  # actual image count (final shard may be partial)
+    profile = {"ingest_wait_s": 0.0, "device_s": 0.0, "save_s": 0.0}
     t0 = time.perf_counter()
     names = None
-    for (start, stop), (images, mask, labels) in zip(pending, batches):
+    batches = iter(batches)
+    for start, stop in pending:
+        t_wait = time.perf_counter()
+        images, mask, labels = next(batches)
+        t_dev = time.perf_counter()
+        profile["ingest_wait_s"] += t_dev - t_wait
         sid = f"shard_{start:09d}"
         shard_file = out_dir / f"{sid}.npz"
         idx = np.arange(start, stop)
@@ -162,6 +179,8 @@ def stream_extract(
         }
         if labels is not None:
             payload["labels"] = np.asarray(labels)
+        t_save = time.perf_counter()
+        profile["device_s"] += t_save - t_dev
         tmp = shard_file.with_suffix(".tmp.npz")
         # uncompressed: feature shards are small and zlib is host-CPU-bound
         np.savez(tmp, **payload)
@@ -173,6 +192,7 @@ def stream_extract(
             "file": shard_file.name,
         }
         _save_manifest(out_dir, manifest)
+        profile["save_s"] += time.perf_counter() - t_save
         computed += 1
         computed_imgs += int(stop - start)
         elapsed_so_far = time.perf_counter() - t0
@@ -181,6 +201,9 @@ def stream_extract(
             shard=sid,
             images=int(stop - start),
             images_per_second=round(computed_imgs / elapsed_so_far, 1),
+            ingest_wait_s=round(profile["ingest_wait_s"], 3),
+            device_s=round(profile["device_s"], 3),
+            save_s=round(profile["save_s"], 3),
             degenerate_channels=int(np.asarray(fm.degenerate).sum()),
         )
     elapsed = time.perf_counter() - t0
@@ -188,12 +211,15 @@ def stream_extract(
 
     fm, labels = load_feature_shards(out_dir, names=names)
     rate = computed_imgs / elapsed if elapsed > 0 and computed else 0.0
+    profile = {k: round(v, 3) for k, v in profile.items()}
+    profile["total_s"] = round(elapsed, 3)
     return StreamResult(
         features=fm,
         labels=labels,
         shards_computed=computed,
         shards_skipped=skipped,
         images_per_second=rate,
+        profile=profile,
     )
 
 
@@ -208,11 +234,13 @@ def stream_extract_h5(
     prefetch_depth: int = 2,
     target_hw: tuple[int, int] | None = None,
     limit: int | None = None,
+    decode_threads: int = 4,
 ) -> StreamResult:
     """Resumable streaming extraction straight from a directory of
     per-object h5 files (README contract, README.md:5-14): the h5 adapter
     decodes/packs/quantises shards on a background thread while the device
-    reduces the previous shard."""
+    reduces the previous shard (``decode_threads`` parallelises the
+    per-object h5 reads inside each shard fetch)."""
     from tpumcia.io.h5 import h5_stream_source
 
     cfg = config or FeatureConfig()
@@ -221,6 +249,7 @@ def stream_extract_h5(
         target_hw=target_hw,
         quantize_levels=cfg.glcm.levels,
         limit=limit,
+        decode_threads=decode_threads,
     )
     return stream_extract(
         src.fetch,
