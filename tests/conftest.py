@@ -59,6 +59,38 @@ def pytest_configure(config):
         )
 
 
+def pytest_sessionstart(session):
+    session._tpumcia_t0 = __import__("time").perf_counter()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    """Append suite duration to .test_times.jsonl (gitignored) so suite-time
+    regressions are visible across runs on this throttled host."""
+    import json
+    import time
+
+    t0 = getattr(session, "_tpumcia_t0", None)
+    if t0 is None:
+        return
+    rec = {
+        "ts": time.time(),
+        "duration_s": round(time.perf_counter() - t0, 1),
+        "exitstatus": int(exitstatus),
+        "testsfailed": int(getattr(session, "testsfailed", -1)),
+        "testscollected": int(getattr(session, "testscollected", -1)),
+        "args": list(session.config.invocation_params.args),
+    }
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".test_times.jsonl",
+        )
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
+
+
 def pytest_collection_modifyitems(config, items):
     import jax
 

@@ -295,3 +295,25 @@ def test_glcm_matrix_list_api_degenerate_offset(rng):
     )
     assert mats[0, 0, :, :, 1, 0].sum() == 0
     assert mats[0, 0, :, :, 0, 0].sum() > 0
+
+
+def test_graycoprops_list_api(rng):
+    """props.graycoprops over (B, C, L, L, D, A) matrices matches the
+    oracle's skimage-shaped graycoprops for every property."""
+    import math
+
+    from tpumcia.features.props import graycoprops
+
+    img = (rng.random((1, 16, 16, 1)) * 256).astype(np.uint8)
+    img[:, 0, 0, :] = 255
+    distances, angles = [2, 5], [0.0, math.pi / 2]
+    mats = glcm_matrix(img, levels=256, distances=distances, angles=angles)
+    plane = img[0, :, :, 0] / 255.0
+    scaled = ((plane / plane.max()) * 255.0).astype(np.uint8)
+    ref_g = oracle.graycomatrix(scaled, distances, angles, levels=256)
+    for prop in ("contrast", "dissimilarity", "homogeneity", "ASM",
+                 "energy", "correlation"):
+        got = np.asarray(graycoprops(mats, prop))[0, 0]  # (D, A)
+        want = oracle.graycoprops(ref_g, prop)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=prop)

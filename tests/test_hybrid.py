@@ -1,6 +1,11 @@
 """Hybrid (device-reduce + host-assemble) finalisation vs oracle and host path."""
 
 import numpy as np
+import pytest
+
+from tpumcia.config import FeatureConfig
+from tpumcia.features.extract import extract_features
+from tpumcia.reference_impl import oracle
 
 
 def test_fetch_concurrent_matches_plain():
@@ -16,11 +21,11 @@ def test_fetch_concurrent_matches_plain():
     )
     small = jnp.arange(12, dtype=jnp.uint32).reshape(3, 4)
     np.testing.assert_array_equal(_fetch_concurrent(small), np.asarray(small))
-import pytest
-
-from tpumcia.config import FeatureConfig
-from tpumcia.features.extract import extract_features
-from tpumcia.reference_impl import oracle
+    # small leading axis, wide second axis -> splits on axis 1
+    wide = jnp.arange(3 * 100000, dtype=jnp.uint32).reshape(3, 100000)
+    np.testing.assert_array_equal(
+        _fetch_concurrent(wide, min_bytes=0), np.asarray(wide)
+    )
 
 HYBRID = FeatureConfig(precision="hybrid", use_pallas="never")
 EXACT = FeatureConfig(precision="exact", use_pallas="never")

@@ -18,10 +18,17 @@ Public workflow (mirrors the reference notebook):
 """
 
 from tpumcia.version import __version__
-from tpumcia.config import PipelineConfig, FeatureConfig, GLCMConfig, HeadConfig
+from tpumcia.config import (
+    PipelineConfig,
+    FeatureConfig,
+    GLCMConfig,
+    HeadConfig,
+    SynthConfig,
+)
 from tpumcia.features.extract import (
     extract_features,
     extract_features_batched,
+    extract_features_pending,
     FeatureMatrix,
 )
 from tpumcia.api import (
@@ -39,8 +46,10 @@ __all__ = [
     "FeatureConfig",
     "GLCMConfig",
     "HeadConfig",
+    "SynthConfig",
     "extract_features",
     "extract_features_batched",
+    "extract_features_pending",
     "FeatureMatrix",
     "load_objects",
     "fit_head",

@@ -48,3 +48,21 @@ def glcm_properties(glcm: jax.Array) -> dict[str, jax.Array]:
 
     values = (contrast, dissimilarity, homogeneity, asm, energy, correlation)
     return dict(zip(GLCM_FEATURES, values))
+
+
+def graycoprops(glcm: jax.Array, prop: str = "contrast") -> jax.Array:
+    """Exact ``skimage.feature.graycoprops`` call shape (the reference's,
+    ipynb:301-306): ``(..., L, L, D, A)`` matrices (e.g. from
+    ``glcm_matrix(distances=[..], angles=[..])``) -> ``(..., D, A)`` values
+    for one property name ('contrast', 'dissimilarity', 'homogeneity',
+    'ASM', 'energy', 'correlation')."""
+    key = prop.lower()
+    names = {n.lower(): n for n in GLCM_FEATURES}
+    if key not in names:
+        raise ValueError(
+            f"unknown property {prop!r}; one of {list(GLCM_FEATURES)}"
+        )
+    g = jnp.asarray(glcm)
+    g = jnp.moveaxis(jnp.moveaxis(g, -1, 0), -1, 0)  # (D, A, ..., L, L)
+    vals = glcm_properties(g)[names[key]]  # (D, A, ...)
+    return jnp.moveaxis(jnp.moveaxis(vals, 0, -1), 0, -1)  # (..., D, A)

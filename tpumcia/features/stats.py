@@ -287,6 +287,8 @@ def _single_image_stats_multi(
 def _sufficient_stats_multi_jit(
     img, w, lut, *, levels, offsets, chunk_size, onehot_dtype, with_intensity
 ):
+    if w is None:  # maskless: broadcast inside the jit, never an HBM array
+        w = jnp.ones(img.shape, jnp.float32)
     fn = functools.partial(
         _single_image_stats_multi,
         lut=lut,
@@ -312,7 +314,7 @@ def sufficient_stats_multi(
 ) -> tuple[SuffStats, ...]:
     """One fused device pass producing per-offset :class:`SuffStats` (the
     multi-offset sibling of :func:`sufficient_stats`)."""
-    img, w = _prep_inputs(images, mask)
+    img, w = _prep_inputs_opt(images, mask)
     lut = jnp.asarray(rescale_lut(levels))
     return _sufficient_stats_multi_jit(
         img,
@@ -324,6 +326,20 @@ def sufficient_stats_multi(
         onehot_dtype=onehot_dtype,
         with_intensity=with_intensity,
     )
+
+
+def _prep_inputs_opt(images, mask):
+    """Like :func:`_prep_inputs` but returns ``w=None`` for ``mask=None`` —
+    the jitted consumers broadcast ones internally, so the maskless path
+    never materialises a full weight array outside a jit."""
+    if mask is None:
+        images = jnp.asarray(images)
+        if images.ndim != 4:
+            raise ValueError(
+                f"expected (B, H, W, C) images, got shape {images.shape}"
+            )
+        return jnp.transpose(images, (0, 3, 1, 2)).astype(jnp.int32), None
+    return _prep_inputs(images, mask)
 
 
 def _prep_inputs(images, mask):
@@ -365,6 +381,8 @@ def _sufficient_stats_jit(
     with_intensity,
     with_glcm,
 ):
+    if w is None:  # maskless: broadcast inside the jit, never an HBM array
+        w = jnp.ones(img.shape, jnp.float32)
     fn = functools.partial(
         _single_image_stats,
         lut=lut,
@@ -402,7 +420,7 @@ def sufficient_stats(
         reference uses distance 5 at angle 0 -> (0, 5) (ipynb:298).
     chunk_size : images per vmapped chunk inside the scan (memory knob).
     """
-    img, w = _prep_inputs(images, mask)
+    img, w = _prep_inputs_opt(images, mask)
     lut = jnp.asarray(rescale_lut(levels))
     return _sufficient_stats_jit(
         img,
