@@ -105,3 +105,27 @@ def test_two_process_cpu_mesh(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"WORKER{pid}_OK" in out, out
+
+
+def test_shard_across_processes_single_process():
+    """Single-process fallback: device_put with a data sharding over the
+    local mesh (covers the helper's non-distributed branch)."""
+    import jax
+
+    from tpumcia.parallel.distributed import (
+        init_distributed,
+        shard_across_processes,
+    )
+    from tpumcia.parallel.mesh import make_mesh
+
+    assert init_distributed() is False  # no coordinator configured anywhere
+    mesh = make_mesh()
+    n = mesh.shape["data"]
+    X = shard_across_processes(
+        np.arange(n * 4 * 3, dtype=np.float32).reshape(n * 4, 3), mesh
+    )
+    assert X.shape == (n * 4, 3)
+    assert len(X.sharding.device_set) == n * mesh.shape["model"] or n == 1
+    np.testing.assert_array_equal(
+        np.asarray(X), np.arange(n * 4 * 3, dtype=np.float32).reshape(n * 4, 3)
+    )

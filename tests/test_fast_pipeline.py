@@ -158,3 +158,37 @@ def test_fused_fit_importance_channel_names():
     assert res.channel_result.top_channel() == 0
     assert res.head.score(X[90:], y[90:]) >= 0.7
     assert len(res.y_pred) == N - 90
+
+
+def test_fast_path_with_mask(workload):
+    """Masked inputs ride the fused fast path (no synth) and agree with the
+    classic pipeline."""
+    import jax
+
+    from tpumcia.pipeline.run import run_pipeline
+    from tpumcia.preprocess.synth import add_noise_channels
+
+    gray, labels = workload
+    imgs = np.asarray(add_noise_channels(gray[:120], jax.random.key(2)))
+    rng = np.random.default_rng(7)
+    mask = rng.random(imgs.shape) > 0.25
+
+    def cfg(fast):
+        return PipelineConfig(
+            head=HeadConfig(kind="logistic", num_steps=60),
+            split=SplitConfig(test_size=0.25, seed=0, stratify=True),
+            fast_path=fast,
+            batch_size=48,
+        )
+
+    fast = run_pipeline(imgs, labels[:120], mask=mask, config=cfg("always"))
+    classic = run_pipeline(imgs, labels[:120], mask=mask, config=cfg("never"))
+    np.testing.assert_allclose(
+        np.asarray(fast.features.values),
+        np.asarray(classic.features.values),
+        rtol=1e-4, atol=1e-5,
+    )
+    assert list(fast.channel_result.ranking) == list(
+        classic.channel_result.ranking
+    )
+    assert fast.channel_result.ranking[0] == 0

@@ -59,10 +59,14 @@ def init_distributed(
     if process_id is None and "TPUMCIA_PROCESS_ID" in os.environ:
         process_id = int(os.environ["TPUMCIA_PROCESS_ID"])
 
+    # auto-detect a MULTI-host pod: TPU_WORKER_HOSTNAMES is a comma list of
+    # worker hosts; a single entry (or its absence) is a single-process run.
+    # (Some single-chip tunnel environments export the variable too.)
+    pod_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     on_tpu_pod = (
         coordinator_address is None
         and num_processes is None
-        and os.environ.get("TPU_WORKER_HOSTNAMES")  # pod metadata present
+        and len([h for h in pod_hosts.split(",") if h.strip()]) > 1
     )
     if coordinator_address is None and not on_tpu_pod:
         return False  # single-process run; nothing to initialize

@@ -52,6 +52,8 @@ def _fast_path_ok(cfg: PipelineConfig, images, mask, mesh) -> bool:
         return False
     if cfg.head.kind != "logistic" or cfg.normalize != "minmax":
         return False
+    if cfg.importance.channel_match != "exact":
+        return False  # substring-compat grouping needs the classic path
     if cfg.synth.noise_channels > 0 and (images.ndim != 3 or mask is not None):
         return False
     if cfg.synth.noise_channels == 0 and images.ndim != 4:
