@@ -73,6 +73,21 @@ the per-pixel-chunk loop to one end-of-channel pass:
   difference histogram stays available behind ``need_diff_hist=True`` for
   the 'exact' backend.
 
+v5 kernel — the rescale runs through the NIBBLE factorization instead of
+(L, CH) boundary compares:
+
+* The LUT row ships as an (L/16, 16) value grid; per chunk,
+  ``R = (rowh @ oh_lo) * 16 + rowl @ oh_lo`` recovers ``row[16h + lo(p)]``
+  for every hi-bucket (two narrow (L/16, 16) x (16, CH) matmuls on the
+  already-built histogram nibble one-hots), and the pixel's rescaled value
+  is the hi-bucket select ``sum(oh_hi * R, axis=0)``.
+* The (L, CH) one-hot is then ONE equality compare against a sublane iota
+  (sentinel applied to the value first) instead of two boundary compares
+  + AND — half the (L, CH)-class VPU work per stream.
+* The rescaled values come for free for the difference path, so the v3
+  stacked nibble matvecs are gone from the full kernel too, and the
+  per-channel (L, L) boundary construction disappears entirely.
+
 Layout design (the part that matters on TPU): every HBM operand keeps its
 pixel axis on *lanes* — inputs are (B, C, K, CHUNK) chunk rows, outputs are
 (B, C, 1, L) rows or (B, C, HI, 16) factor grids, so nothing acquires a
@@ -104,7 +119,18 @@ _CHUNK = 4096  # pixels/pairs per chunk (lane-major)
 # int8 one-hot matmuls (s8 x s8 -> s32) run faster than bf16 on the v5e MXU
 # and stay exact (operands are 0/1, accumulators are integer counts).
 # Set TPUMCIA_KERNEL_INT8=0 to fall back to bf16.
+# TPUMCIA_KERNEL_OH=int4 is a dev-only experiment knob (sub-byte one-hot
+# operands; Mosaic support is version-dependent — not a supported config).
 _USE_INT8 = os.environ.get("TPUMCIA_KERNEL_INT8", "1") == "1"
+_OH_KIND = os.environ.get("TPUMCIA_KERNEL_OH", "int8" if _USE_INT8 else "bf16")
+
+
+def _oh_dtypes():
+    if _OH_KIND == "int4":
+        return jnp.int4, jnp.int32
+    if _OH_KIND == "bf16":
+        return jnp.bfloat16, jnp.float32
+    return jnp.int8, jnp.int32
 
 
 def _lanedot(a, b, acc):
@@ -213,29 +239,15 @@ def _kernel(
     DHI = (2 * L) // 16
     f32 = jnp.float32
     i32 = jnp.int32
-    oh_t = jnp.int8 if _USE_INT8 else jnp.bfloat16
-    acc = jnp.int32 if _USE_INT8 else jnp.float32
+    oh_t, acc = _oh_dtypes()
     r0, r1, c0, c1 = window
 
-    iota_LL = jax.lax.broadcasted_iota(i32, (L, L), 0)  # [i, v] = i
     iota_hi = jax.lax.broadcasted_iota(i32, (HI, 1), 0)
     iota_16 = jax.lax.broadcasted_iota(i32, (16, 1), 0)
     iota_dhi = jax.lax.broadcasted_iota(i32, (DHI, 1), 0)
-    iota_lane = jax.lax.broadcasted_iota(i32, (1, L), 1)
-    # nibble weights of the level index: resc = 16*(hi_w @ oh) + lo_w @ oh.
-    # Both fit int8, so recovering rescaled values from the one-hots costs
-    # s8 matvecs instead of an (L, CH) i8->bf16 cast + bf16 matvec; the
-    # hi/lo rows are stacked into one (2, L) operand so each side is a
-    # single MXU call (an M=1 matvec pays the full 128-row MXU pass anyway).
-    sub2 = jax.lax.broadcasted_iota(i32, (2, L), 0)
-    nib_w = jnp.where(sub2 == 0, iota_lane >> 4, iota_lane & 15).astype(oh_t)
+    iota_L = jax.lax.broadcasted_iota(i32, (L, 1), 0)
     lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
     ones_L = jnp.ones((1, L), f32)
-
-    def _nib_value(oh):
-        """(L, CH) one-hot -> (1, CH) level values via one (2, L) matmul."""
-        nb = jnp.dot(nib_w, oh, preferred_element_type=i32)  # (2, CH)
-        return nb[0:1, :] * 16 + nb[1:2, :]
 
     # per-chunk static position masks: in-bounds pixels and valid pairs
     # (the offset window), reconstructed from the flat pixel index. The
@@ -261,6 +273,18 @@ def _kernel(
             int(np.sum((ri >= r0) & (ri < r1) & (ci >= c0) & (ci < c1)))
         )
 
+    def _resc_values(hi_b, lo_oh, rowh, rowl):
+        """Rescaled values from NIBBLE one-hots (kernel v5): with the LUT
+        row laid out as a (HI, 16) grid split into per-cell nibbles,
+        ``R = rowh @ lo_oh * 16 + rowl @ lo_oh`` holds ``row[16h + lo(p)]``
+        for every hi-bucket h, and the pixel's value is the hi-bucket
+        select ``sum(hi_b * R, axis=0)``. Two (HI, 16) x (16, CH) matmuls
+        + small elementwise work instead of any (L, CH) compare."""
+        Rh = jnp.dot(rowh, lo_oh, preferred_element_type=acc)  # (HI, CH)
+        Rl = jnp.dot(rowl, lo_oh, preferred_element_type=acc)
+        R = Rh.astype(i32) * 16 + Rl.astype(i32)
+        return jnp.sum(hi_b.astype(i32) * R, axis=0, keepdims=True)  # (1, CH)
+
     for c in range(num_channels):
         raw_all = raw_ref[0, c]  # (K, CH) i32
         rsh_all = rsh_ref[0, c]
@@ -268,11 +292,11 @@ def _kernel(
             wi_all = wi_ref[0, c] > 0
             wsh_all = wsh_ref[0, c] > 0
 
-        # Rescale boundaries from the (monotone) LUT row: level i covers raw
-        # values in [start_i, end_i) with start_i = #{v: row[v] < i}.
-        row = row_ref[0, c].astype(i32)  # (1, L) integer-valued
-        start = jnp.sum((row < iota_LL).astype(i32), axis=1, keepdims=True)
-        end = jnp.sum((row <= iota_LL).astype(i32), axis=1, keepdims=True)
+        # LUT row as a (HI, 16) value grid, split into per-cell nibbles so
+        # the value-recovery matmuls run on narrow (int8/bf16) operands
+        row16 = row_ref[0, c].astype(i32)  # (HI, 16), row16[h, l] = row[16h+l]
+        rowh = (row16 >> 4).astype(oh_t)
+        rowl = (row16 & 15).astype(oh_t)
 
         hist16 = jnp.zeros((HI, 16), acc)
         dh16 = jnp.zeros((DHI, 16), acc)
@@ -280,10 +304,10 @@ def _kernel(
 
         # the chunk loop is unrolled in-kernel with write-once outputs
         # (no revisited blocks, no init/emit predication). Per chunk only
-        # the histogram factor matmul, the boundary one-hot compares, and
-        # the G matmul run; marginals, counts, and (on the wire path) the
-        # difference-derived reductions all come out of the accumulators
-        # once per channel (kernel v4).
+        # the histogram factor matmul, the nibble value recovery, ONE
+        # (L, CH) equality per stream, and the G matmul run; marginals,
+        # counts, and (on the wire path) the difference-derived reductions
+        # all come out of the accumulators once per channel (kernel v4/v5).
         for k in range(num_chunks):
             raw = raw_all[k : k + 1, :]  # (1, CH) left pixel = raw pixel
             rsh = rsh_all[k : k + 1, :]  # co-occurring neighbour
@@ -295,31 +319,31 @@ def _kernel(
                 pwb = valid[k]
 
             # --- factorized raw histogram: (HI, CH) x (16, CH) -> (HI, 16)
-            oh_hi = (raw >> 4) == iota_hi
+            oh_hi_b = (raw >> 4) == iota_hi
             if has_mask or not inb_full[k]:
-                oh_hi = oh_hi & wb  # pad pixels only exist in the tail chunk
-            oh_hi = oh_hi.astype(oh_t)
+                oh_hi_b = oh_hi_b & wb  # pad pixels only exist in the tail
             oh_lo = ((raw & 15) == iota_16).astype(oh_t)
-            hist16 += _lanedot(oh_hi, oh_lo, acc)
+            hist16 += _lanedot(oh_hi_b.astype(oh_t), oh_lo, acc)
 
-            # --- rescaled one-hots straight from raw levels (boundary
-            # form); pair validity folds into the left stream as a -1
-            # sentinel, one (1, CH) select instead of an (L, CH) AND
-            rawm = jnp.where(pwb, raw, -1)
-            oh_l = ((rawm >= start) & (rawm < end)).astype(oh_t)
-            oh_r = ((rsh >= start) & (rsh < end)).astype(oh_t)
+            # --- rescaled values via the nibble LUT grid (v5), then ONE
+            # (L, CH) equality per stream builds the one-hot; pair validity
+            # folds into the left stream as a -1 sentinel. The left side
+            # reuses the histogram's nibble one-hots (masked hi-buckets
+            # zero the value — the sentinel overrides those pixels anyway).
+            resc_l = _resc_values(oh_hi_b, oh_lo, rowh, rowl)
+            rhi_b = (rsh >> 4) == iota_hi
+            rlo = ((rsh & 15) == iota_16).astype(oh_t)
+            resc_r = _resc_values(rhi_b, rlo, rowh, rowl)
+
+            rescm = jnp.where(pwb, resc_l, -1)
+            oh_l = (rescm == iota_L).astype(oh_t)
+            oh_r = (resc_r == iota_L).astype(oh_t)
 
             # G[i, j] += sum_p pw_p * [l_p == i] * [r_p == j] (pair weight
             # already folded into oh_l via the sentinel)
             glcm += _lanedot(oh_l, oh_r, acc)
 
             if need_diff:
-                # --- rescaled values for the difference histogram: one
-                # stacked s8 nibble matmul per side (masked pixels give
-                # resc = 0-ish values; the diff one-hot re-masks with pwb,
-                # so aliasing is harmless)
-                resc_l = _nib_value(oh_l)
-                resc_r = _nib_value(oh_r)
                 diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
                 oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
                 oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
@@ -379,13 +403,14 @@ def _pallas_stats_core(img, w, lut, *, levels, offset, has_mask, interpret,
     # row-major flattening makes the 2D offset a single flat shift; the
     # offset-window mask (applied in-kernel) discards the wrapped positions
 
-    # XLA prologue: channel max -> rescale LUT row (ipynb:293-295, exact).
+    # XLA prologue: channel max -> rescale LUT row (ipynb:293-295, exact),
+    # laid out as an (HI, 16) value grid for the in-kernel nibble recovery.
     if has_mask:
         vmax = jnp.max(jnp.where(w > 0, img, -1), axis=(2, 3)).astype(i32)
     else:
         vmax = jnp.max(img, axis=(2, 3)).astype(i32)
     rows = jnp.take(lut.astype(f32), jnp.clip(vmax, 0, L - 1).reshape(-1), axis=0)
-    rows = rows.reshape(B, C, 1, L)
+    rows = rows.reshape(B, C, HI, 16)
 
     HW = H * W
     CH = min(_CHUNK, max(128, HW))
@@ -418,7 +443,7 @@ def _pallas_stats_core(img, w, lut, *, levels, offset, has_mask, interpret,
         (1, C, K, CH), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
     row_spec = pl.BlockSpec(
-        (1, C, 1, L), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, C, HI, 16), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
     in_specs = [chunk_spec] * (4 if has_mask else 2) + [row_spec]
     blk = lambda m, n: pl.BlockSpec(
@@ -532,22 +557,21 @@ def _kernel_multi(
     DHI = (2 * L) // 16
     f32 = jnp.float32
     i32 = jnp.int32
-    oh_t = jnp.int8 if _USE_INT8 else jnp.bfloat16
-    acc = jnp.int32 if _USE_INT8 else jnp.float32
+    oh_t, acc = _oh_dtypes()
 
-    iota_LL = jax.lax.broadcasted_iota(i32, (L, L), 0)
     iota_hi = jax.lax.broadcasted_iota(i32, (HI, 1), 0)
     iota_16 = jax.lax.broadcasted_iota(i32, (16, 1), 0)
     iota_dhi = jax.lax.broadcasted_iota(i32, (DHI, 1), 0)
-    iota_lane = jax.lax.broadcasted_iota(i32, (1, L), 1)
-    sub2 = jax.lax.broadcasted_iota(i32, (2, L), 0)
-    nib_w = jnp.where(sub2 == 0, iota_lane >> 4, iota_lane & 15).astype(oh_t)
+    iota_L = jax.lax.broadcasted_iota(i32, (L, 1), 0)
     lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
     ones_L = jnp.ones((1, L), f32)
 
-    def _nib_value(oh):
-        nb = jnp.dot(nib_w, oh, preferred_element_type=i32)  # (2, CH)
-        return nb[0:1, :] * 16 + nb[1:2, :]
+    def _resc_values(hi_b, lo_oh, rowh, rowl):
+        """See the single-offset kernel: values via the nibble LUT grid."""
+        Rh = jnp.dot(rowh, lo_oh, preferred_element_type=acc)
+        Rl = jnp.dot(rowl, lo_oh, preferred_element_type=acc)
+        R = Rh.astype(i32) * 16 + Rl.astype(i32)
+        return jnp.sum(hi_b.astype(i32) * R, axis=0, keepdims=True)
 
     CH = raw_ref.shape[-1]
     inb, inb_full, n_inb = [], [], []
@@ -576,9 +600,9 @@ def _kernel_multi(
         if has_mask:
             wi_all = wi_ref[0, c] > 0
 
-        row = row_ref[0, c].astype(i32)
-        start = jnp.sum((row < iota_LL).astype(i32), axis=1, keepdims=True)
-        end = jnp.sum((row <= iota_LL).astype(i32), axis=1, keepdims=True)
+        row16 = row_ref[0, c].astype(i32)  # (HI, 16) value grid
+        rowh = (row16 >> 4).astype(oh_t)
+        rowl = (row16 & 15).astype(oh_t)
 
         hist16 = jnp.zeros((HI, 16), acc)
         dh16 = [jnp.zeros((DHI, 16), acc) for _ in range(O)]
@@ -591,16 +615,17 @@ def _kernel_multi(
             else:
                 wb = inb[k]
 
-            oh_hi = (raw >> 4) == iota_hi
+            oh_hi_b = (raw >> 4) == iota_hi
             if has_mask or not inb_full[k]:
-                oh_hi = oh_hi & wb
-            oh_hi = oh_hi.astype(oh_t)
+                oh_hi_b = oh_hi_b & wb
             oh_lo = ((raw & 15) == iota_16).astype(oh_t)
-            hist16 += _lanedot(oh_hi, oh_lo, acc)
+            hist16 += _lanedot(oh_hi_b.astype(oh_t), oh_lo, acc)
 
-            # shared left side: unmasked rescaled one-hot + values
-            oh_l = ((raw >= start) & (raw < end)).astype(oh_t)
-            resc_l = _nib_value(oh_l) if need_diff else None
+            # shared left side: rescaled values + one-hot (mask-aliased
+            # pixels resolve to level 0 — the RIGHT stream's sentinel zeroes
+            # those pairs, exactly like the previous unmasked left one-hot)
+            resc_l = _resc_values(oh_hi_b, oh_lo, rowh, rowl)
+            oh_l = (resc_l == iota_L).astype(oh_t)
 
             for o in range(O):
                 rsh = rsh_refs[o][0, c][k : k + 1, :]
@@ -610,11 +635,13 @@ def _kernel_multi(
                     )
                 else:
                     pwb = valid[o][k]
-                rshm = jnp.where(pwb, rsh, -1)
-                oh_r = ((rshm >= start) & (rshm < end)).astype(oh_t)
+                rhi_b = (rsh >> 4) == iota_hi
+                rlo = ((rsh & 15) == iota_16).astype(oh_t)
+                resc_r = _resc_values(rhi_b, rlo, rowh, rowl)
+                rescm = jnp.where(pwb, resc_r, -1)
+                oh_r = (rescm == iota_L).astype(oh_t)
                 glcm[o] += _lanedot(oh_l, oh_r, acc)
                 if need_diff:
-                    resc_r = _nib_value(oh_r)
                     diff = resc_l - resc_r + (L - 1)
                     oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
                     oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
@@ -683,7 +710,7 @@ def _pallas_stats_multi_core(img, w, lut, *, levels, offsets, has_mask,
     else:
         vmax = jnp.max(img, axis=(2, 3)).astype(i32)
     rows = jnp.take(lut.astype(f32), jnp.clip(vmax, 0, L - 1).reshape(-1), axis=0)
-    rows = rows.reshape(B, C, 1, L)
+    rows = rows.reshape(B, C, HI, 16)
 
     HW = H * W
     CH = min(_CHUNK, max(128, HW))
@@ -708,7 +735,7 @@ def _pallas_stats_multi_core(img, w, lut, *, levels, offsets, has_mask,
         (1, C, K, CH), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
     row_spec = pl.BlockSpec(
-        (1, C, 1, L), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, C, HI, 16), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
     n_chunk_inputs = (2 + 2 * O) if has_mask else (1 + O)
     in_specs = [chunk_spec] * n_chunk_inputs + [row_spec]
