@@ -183,7 +183,37 @@ def extract_features(
             else degenerate | np.asarray(done.degenerate)
         )
 
-    if len(offsets) > 1 and cfg.include_glcm:
+    single_dispatch = (
+        mesh is None
+        and backend == "hybrid"
+        and len(offsets) == 1
+        and cfg.include_intensity
+        and cfg.include_glcm
+        and cfg.glcm.levels <= 256
+    )
+    if single_dispatch:
+        # stats -> u32 wire fused into ONE dispatch (each extra dispatch
+        # through a remote device link costs a full round trip) + one
+        # concurrent wire fetch; identical values to the split path
+        from tpumcia.features.hybrid import (
+            _fetch_concurrent,
+            assemble_reduced,
+            unpack_wire,
+        )
+        from tpumcia.features.stats import rescale_lut_device
+
+        wire, _ = _batch_fused_dispatch(
+            images, mask, None, rescale_lut_device(cfg.glcm.levels),
+            levels=cfg.glcm.levels, offset=tuple(offsets[0]),
+            use_pallas=use_pallas, keep_device=False,
+            chunk_size=cfg.chunk_size, onehot_dtype=cfg.onehot_dtype,
+        )
+        done = assemble_reduced(
+            unpack_wire(_fetch_concurrent(wire)), levels=cfg.glcm.levels
+        )
+        value_blocks.append(done.values)
+        degenerate = np.asarray(done.degenerate)
+    elif len(offsets) > 1 and cfg.include_glcm:
         # fused multi-offset pass: the raw one-hot / histogram / rescale work
         # is shared across all offsets (skimage list API, ipynb:298)
         if mesh is not None:
