@@ -65,11 +65,11 @@ def main() -> None:
     # reference's excluded import/startup time)
     run_pipeline(gray_dev, labels, config=cfg)
 
-    # ---- timed public-API pipeline (best of 3: the remote device link adds
-    # several hundred ms of run-to-run jitter) -----------------------------
+    # ---- timed public-API pipeline (best of 5: the remote device link adds
+    # several hundred ms of run-to-run jitter; each run is ~0.3 s) ---------
     elapsed = float("inf")
     result = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         result = run_pipeline(gray_dev, labels, config=cfg)
         elapsed = min(elapsed, time.perf_counter() - t0)

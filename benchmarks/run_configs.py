@@ -244,6 +244,14 @@ def config5_streaming(n=16384, shard=2048):
         idx = np.asarray(idx)
         return imgs[int(idx[0]) : int(idx[-1]) + 1], None, None
 
+    # warm-up: compile the per-shard dispatch at the real shard shape
+    # (standard JAX benchmark discipline, like configs 1-3)
+    warm_dir = tempfile.mkdtemp()
+    try:
+        stream_extract(fetch, shard, warm_dir, shard_size=shard)
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
     out = tempfile.mkdtemp()
     try:
         t0 = time.perf_counter()

@@ -143,44 +143,39 @@ def stream_extract(
         else:
             batches = (stage(fetch(np.arange(s, e))) for s, e in pending)
 
+    # the hybrid single-offset config additionally pipelines the OUTPUT
+    # side: shard i's fused stats->wire dispatch is enqueued, then shard
+    # i-1's wire is fetched/assembled/saved while the device computes —
+    # the per-shard wire round trip leaves the critical path
+    offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
+    wire_mode = (
+        mesh is None
+        and cfg.precision == "hybrid"
+        and cfg.glcm.levels <= 256
+        and cfg.include_intensity
+        and cfg.include_glcm
+        and not cfg.include_morphology
+        and len(offsets) == 1
+    )
+
     computed = 0
     computed_imgs = 0  # actual image count (final shard may be partial)
     profile = {"ingest_wait_s": 0.0, "device_s": 0.0, "save_s": 0.0}
     t0 = time.perf_counter()
     names = None
-    batches = iter(batches)
-    for start, stop in pending:
-        t_wait = time.perf_counter()
-        images, mask, labels = next(batches)
-        t_dev = time.perf_counter()
-        profile["ingest_wait_s"] += t_dev - t_wait
+    num_channels = None
+
+    def save_shard(start, stop, values, degenerate, labels):
+        nonlocal computed, computed_imgs
         sid = f"shard_{start:09d}"
         shard_file = out_dir / f"{sid}.npz"
-        idx = np.arange(start, stop)
-        if mesh is not None:
-            from tpumcia.parallel.sharding import extract_features_sharded
-
-            fm = extract_features_sharded(
-                images,
-                mask,
-                mesh=mesh,
-                levels=cfg.glcm.levels,
-                offset=cfg.glcm.offset,
-                chunk_size=cfg.chunk_size,
-                precision="exact" if cfg.precision == "exact" else cfg.precision,
-            )
-        else:
-            fm = extract_features(images, mask=mask, config=cfg)
-        names = fm.names
         payload = {
-            "values": np.asarray(fm.values),
-            "degenerate": np.asarray(fm.degenerate),
-            "indices": idx,
+            "values": np.asarray(values),
+            "degenerate": np.asarray(degenerate),
+            "indices": np.arange(start, stop),
         }
         if labels is not None:
             payload["labels"] = np.asarray(labels)
-        t_save = time.perf_counter()
-        profile["device_s"] += t_save - t_dev
         tmp = shard_file.with_suffix(".tmp.npz")
         # uncompressed: feature shards are small and zlib is host-CPU-bound
         np.savez(tmp, **payload)
@@ -192,7 +187,6 @@ def stream_extract(
             "file": shard_file.name,
         }
         _save_manifest(out_dir, manifest)
-        profile["save_s"] += time.perf_counter() - t_save
         computed += 1
         computed_imgs += int(stop - start)
         elapsed_so_far = time.perf_counter() - t0
@@ -204,8 +198,102 @@ def stream_extract(
             ingest_wait_s=round(profile["ingest_wait_s"], 3),
             device_s=round(profile["device_s"], 3),
             save_s=round(profile["save_s"], 3),
-            degenerate_channels=int(np.asarray(fm.degenerate).sum()),
+            degenerate_channels=int(np.asarray(payload["degenerate"]).sum()),
         )
+
+    batches = iter(batches)
+    first_batch = None
+    if wire_mode and pending:
+        t_wait = time.perf_counter()
+        first_batch = next(batches)
+        profile["ingest_wait_s"] += time.perf_counter() - t_wait
+        h, w_ = first_batch[0].shape[1], first_batch[0].shape[2]
+        if h * w_ >= 65536:
+            wire_mode = False  # hybrid wire needs < 2^16 pixels/channel
+
+    if wire_mode:
+        from tpumcia.features.extract import (
+            _batch_fused_dispatch,
+            _resolve_pallas,
+        )
+        from tpumcia.features.hybrid import (
+            _fetch_concurrent,
+            assemble_reduced,
+            unpack_wire,
+        )
+        from tpumcia.features.stats import rescale_lut_device
+
+        lut = rescale_lut_device(cfg.glcm.levels)
+        use_pallas = _resolve_pallas(cfg)
+        offset = tuple(offsets[0])
+        prev = None  # (start, stop, wire, labels)
+
+        def finish(prev):
+            start, stop, wire, labels = prev
+            t_fetch = time.perf_counter()
+            done = assemble_reduced(
+                unpack_wire(_fetch_concurrent(wire)), levels=cfg.glcm.levels
+            )
+            t_save = time.perf_counter()
+            profile["device_s"] += t_save - t_fetch
+            save_shard(start, stop, done.values, done.degenerate, labels)
+            profile["save_s"] += time.perf_counter() - t_save
+
+        for start, stop in pending:
+            if first_batch is not None:
+                images, mask, labels = first_batch
+                first_batch = None
+            else:
+                t_wait = time.perf_counter()
+                images, mask, labels = next(batches)
+                profile["ingest_wait_s"] += time.perf_counter() - t_wait
+            if num_channels is None:
+                num_channels = int(images.shape[-1])
+            wire, _ = _batch_fused_dispatch(  # async enqueue
+                images, mask, None, lut,
+                levels=cfg.glcm.levels, offset=offset, use_pallas=use_pallas,
+                keep_device=False, chunk_size=cfg.chunk_size,
+                onehot_dtype=cfg.onehot_dtype,
+            )
+            if prev is not None:
+                finish(prev)  # overlaps the in-flight dispatch above
+            prev = (start, stop, wire, labels)
+        if prev is not None:
+            finish(prev)
+        if num_channels is not None:
+            names = registry.feature_names(num_channels)
+    else:
+        for start, stop in pending:
+            if first_batch is not None:
+                images, mask, labels = first_batch
+                first_batch = None
+                t_dev = time.perf_counter()
+            else:
+                t_wait = time.perf_counter()
+                images, mask, labels = next(batches)
+                t_dev = time.perf_counter()
+                profile["ingest_wait_s"] += t_dev - t_wait
+            if mesh is not None:
+                from tpumcia.parallel.sharding import extract_features_sharded
+
+                fm = extract_features_sharded(
+                    images,
+                    mask,
+                    mesh=mesh,
+                    levels=cfg.glcm.levels,
+                    offset=cfg.glcm.offset,
+                    chunk_size=cfg.chunk_size,
+                    precision=(
+                        "exact" if cfg.precision == "exact" else cfg.precision
+                    ),
+                )
+            else:
+                fm = extract_features(images, mask=mask, config=cfg)
+            names = fm.names
+            t_save = time.perf_counter()
+            profile["device_s"] += t_save - t_dev
+            save_shard(start, stop, fm.values, fm.degenerate, labels)
+            profile["save_s"] += time.perf_counter() - t_save
     elapsed = time.perf_counter() - t0
     log.close()
 
