@@ -61,9 +61,12 @@ def test_pipeline_mesh_config_spmd():
     res_single = run_pipeline(
         images, labels, config=PipelineConfig(mesh=MeshConfig(data=1))
     )
+    # integer-exact wire fields are identical; the f32-summed fields
+    # (moments/entropy/homogeneity) drift ~1e-5 relative between the
+    # sharded split-dispatch and the single-device fused-dispatch programs
     np.testing.assert_allclose(
         res_mesh.features.to_numpy(), res_single.features.to_numpy(),
-        rtol=0, atol=0,
+        rtol=2e-4, atol=1e-5,
     )
     assert res_mesh.channel_result.ranking[0] == 0
 

@@ -9,10 +9,17 @@ from tpumcia.config import (
     FeatureConfig,
     HeadConfig,
     ImportanceConfig,
+    MeshConfig,
     PipelineConfig,
     SplitConfig,
     SynthConfig,
 )
+
+# the suite runs on an 8-device CPU mesh; the fused fast path is
+# single-device by design, so every fast-path config pins mesh data=1
+# (without this the default data=-1 resolves a mesh and the classic SPMD
+# path runs instead — the tests would compare classic vs classic)
+_ONE_DEV = MeshConfig(data=1, model=1)
 
 
 @pytest.fixture(scope="module")
@@ -30,8 +37,38 @@ def _cfg(fast, **kw):
         split=SplitConfig(test_size=0.25, seed=0, stratify=True),
         fast_path=fast,
         batch_size=64,
+        mesh=_ONE_DEV,
         **kw,
     )
+
+
+def test_fast_path_actually_taken(workload):
+    """Guard against the vacuous-test failure mode: the fused path must
+    really be selected under this suite's environment."""
+    from tpumcia.parallel.mesh import mesh_from_config
+    from tpumcia.pipeline.run import _fast_path_ok
+
+    gray, labels = workload
+    cfg = _cfg("always")
+    assert mesh_from_config(cfg.mesh) is None
+    assert _fast_path_ok(cfg, gray, None, None)
+
+
+def test_fast_path_always_with_mesh_raises(workload):
+    from tpumcia.pipeline.run import run_pipeline
+
+    gray, labels = workload
+    cfg = PipelineConfig(
+        synth=SynthConfig(noise_channels=2, seed=0),
+        fast_path="always",
+        mesh=MeshConfig(data=-1, model=1),
+    )
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    with pytest.raises(ValueError, match="single-device"):
+        run_pipeline(gray, labels, config=cfg)
 
 
 def test_fast_path_matches_classic(workload):
@@ -179,6 +216,7 @@ def test_fast_path_with_mask(workload):
             split=SplitConfig(test_size=0.25, seed=0, stratify=True),
             fast_path=fast,
             batch_size=48,
+            mesh=_ONE_DEV,
         )
 
     fast = run_pipeline(imgs, labels[:120], mask=mask, config=cfg("always"))
@@ -192,3 +230,71 @@ def test_fast_path_with_mask(workload):
         classic.channel_result.ranking
     )
     assert fast.channel_result.ranking[0] == 0
+
+
+def test_pending_rejects_non_fast_configs(workload):
+    from tpumcia.features.extract import extract_features_pending
+
+    gray, labels = workload
+    with pytest.raises(ValueError, match="hybrid fast path"):
+        extract_features_pending(
+            np.zeros((8, 16, 16, 2), np.uint8),
+            config=FeatureConfig(precision="exact"),
+        )
+    with pytest.raises(ValueError, match="hybrid fast path"):
+        extract_features_pending(
+            np.zeros((8, 256, 256, 1), np.uint8)  # >= 2^16 pixels
+        )
+
+
+def test_fused_unseen_test_class_scores_as_miss():
+    """A test label absent from training must count as a misprediction,
+    not alias onto a neighbouring class (classic-path semantics)."""
+    import jax
+
+    from tpumcia.models.fused import fit_logistic_with_importance
+
+    rng = np.random.default_rng(0)
+    N, F = 90, 4
+    X = rng.random((N, F)).astype(np.float32)
+    y = np.where(np.arange(N) % 2 == 0, 0, 2)
+    X[:, 0] += y  # separable on classes {0, 2}
+    y = y.copy()
+    y[80:] = 1  # class 1 exists ONLY in the test rows
+    res = fit_logistic_with_importance(
+        jax.numpy.asarray(X), y,
+        train_idx=np.arange(0, 80), test_idx=np.arange(80, N),
+        groups=[[0, 1], [2, 3]], names=[f"f{i}_Ch{1 + i // 2}" for i in range(F)],
+        head_config=HeadConfig(kind="logistic", num_steps=60),
+        importance_config=ImportanceConfig(n_repeats=2),
+    )
+    assert res.baseline_score == 0.0  # nothing predictable as class 1
+    # predictions still come from the trained classes
+    assert set(res.y_pred) <= {0, 2}
+
+
+def test_synth_identical_across_paths(workload):
+    """The batched synth helper must reproduce the fast path's per-batch
+    draws exactly (one canonical PRNG stream)."""
+    import jax
+
+    from tpumcia.preprocess.synth import (
+        add_noise_channels,
+        add_noise_channels_batched,
+        synth_batch_keys,
+    )
+
+    gray, labels = workload
+    gray = gray[:100]
+    out = np.asarray(
+        add_noise_channels_batched(gray, seed=0, batch_size=48)
+    )
+    keys = synth_batch_keys(0, 3)
+    # manual per-batch draws with wrap padding, as the fused dispatch does
+    manual = []
+    for i, (lo, hi) in enumerate([(0, 48), (48, 96), (96, 100)]):
+        b = gray[lo:hi]
+        if hi - lo < 48:
+            b = np.concatenate([b, gray[: 48 - (hi - lo)]])
+        manual.append(np.asarray(add_noise_channels(b, keys[i]))[: hi - lo])
+    np.testing.assert_array_equal(out, np.concatenate(manual))

@@ -442,6 +442,18 @@ def extract_features_pending(
         raise ValueError("synth_noise expects (N, H, W) grayscale input")
     if synth_noise and mask is not None:
         raise ValueError("synth_noise does not compose with masks")
+    if not batched_fast_path_ok(images.shape, cfg):
+        # the pending path IS the hybrid u32-wire pipeline; silently running
+        # an 'exact'/'device'/multi-offset/morphology config (or >= 2^16
+        # pixels, past the wire's exact-integer bounds) would return wrong
+        # or mislabeled values — use extract_features(_batched) instead
+        raise ValueError(
+            "extract_features_pending requires the hybrid fast path "
+            "(precision='hybrid', single GLCM offset, intensity+GLCM, no "
+            "morphology, < 2^16 pixels/channel, levels <= 256); got "
+            f"precision={cfg.precision!r}, offsets={cfg.glcm.offsets}, "
+            f"image shape {tuple(images.shape)}"
+        )
 
     import math
 
@@ -455,11 +467,12 @@ def extract_features_pending(
     offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
     offset = tuple(offsets[0])
     lut = rescale_lut_device(cfg.glcm.levels)
-    keys = (
-        jax.random.split(jax.random.key(synth_seed), num_batches)
-        if synth_noise
-        else [None] * num_batches
-    )
+    if synth_noise:
+        from tpumcia.preprocess.synth import synth_batch_keys
+
+        keys = synth_batch_keys(synth_seed, num_batches)
+    else:
+        keys = [None] * num_batches
 
     def pad_batch(arr, sl):
         # wrap-around pad keeps one compiled batch shape; stays on device

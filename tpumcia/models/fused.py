@@ -140,8 +140,16 @@ def fit_logistic_with_importance(
 
     y_tr = labels[train_idx]
     classes, y_tr_idx = np.unique(y_tr, return_inverse=True)
-    y_te_idx = np.searchsorted(classes, labels[test_idx])
     k = len(classes)
+    # test labels never seen in training can't be predicted: give them the
+    # sentinel index -1 (argmax is always in [0, k), so they score as
+    # mispredictions — same as the classic path's head.predict comparison;
+    # a plain searchsorted would silently alias them onto a real class)
+    y_te_idx = np.searchsorted(classes, labels[test_idx])
+    y_te_clip = np.clip(y_te_idx, 0, k - 1)
+    y_te_idx = np.where(
+        classes[y_te_clip] == labels[test_idx], y_te_clip, -1
+    )
     F = X.shape[1]
     C = len(groups)
 

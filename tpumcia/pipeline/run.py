@@ -48,7 +48,18 @@ def _fast_path_ok(cfg: PipelineConfig, images, mask, mesh) -> bool:
     logistic head fit/sweeps (the round-2 bench plumbing, productized)."""
     from tpumcia.features.extract import batched_fast_path_ok
 
-    if cfg.fast_path == "never" or mesh is not None:
+    if mesh is not None:
+        if cfg.fast_path == "always":
+            # never silently downgrade an explicit request: the fused path
+            # is single-device by design (device-resident features + one
+            # local dispatch); SPMD runs use the sharded classic pipeline
+            raise ValueError(
+                "fast_path='always' is single-device but the mesh config "
+                f"resolved {mesh.shape}; set mesh data=1/model=1 (or "
+                "fast_path='auto')"
+            )
+        return False
+    if cfg.fast_path == "never":
         return False
     if cfg.head.kind != "logistic" or cfg.normalize != "minmax":
         return False
@@ -173,17 +184,18 @@ def run_pipeline(
             raise ValueError(
                 "synth.noise_channels expects (B, H, W) grayscale input"
             )
-        import jax
+        from tpumcia.preprocess.synth import add_noise_channels_batched
 
-        from tpumcia.preprocess.synth import add_noise_channels
-
-        images = np.asarray(
-            add_noise_channels(
-                jax.numpy.asarray(images_arr),
-                jax.random.key(cfg.synth.seed),
-                num_noise=cfg.synth.noise_channels,
-                var=cfg.synth.var,
-            )
+        # the SAME per-batch PRNG stream as the fused fast path, so the
+        # synthesized dataset is identical on either path; stays a device
+        # array (a host round trip would move ~12 KB/image through the
+        # slow link twice)
+        images = add_noise_channels_batched(
+            images_arr,
+            seed=cfg.synth.seed,
+            batch_size=cfg.batch_size,
+            num_noise=cfg.synth.noise_channels,
+            var=cfg.synth.var,
         )
 
     t0 = time.perf_counter()

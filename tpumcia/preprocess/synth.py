@@ -42,3 +42,49 @@ def add_noise_channels(
     )
     noise_u8 = (jnp.clip(noise, 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return jnp.concatenate([images[..., None].astype(jnp.uint8), noise_u8], axis=-1)
+
+
+def synth_batch_keys(seed: int, num_batches: int) -> jax.Array:
+    """The canonical per-batch PRNG stream for batched noise synthesis:
+    batch i of a run draws with ``split(key(seed), num_batches)[i]``. Both
+    the fused fast path and the classic pipeline use THIS stream, so the
+    synthesized dataset is identical regardless of which path runs (pinned
+    by tests/test_fast_pipeline.py)."""
+    return jax.random.split(jax.random.key(seed), num_batches)
+
+
+def add_noise_channels_batched(
+    images: jax.Array,
+    *,
+    seed: int,
+    batch_size: int,
+    num_noise: int = 2,
+    var: float = 0.01,
+) -> jax.Array:
+    """Batched-key noise synthesis on device: (N, H, W) -> (N, H, W, 1+n).
+
+    Draws per fixed-size batch with :func:`synth_batch_keys` — batch i's
+    rows get the first ``len(batch)`` rows of a ``(batch_size, ...)`` draw,
+    matching the fused fast path's per-dispatch synthesis exactly (the fast
+    path pads partial batches; the pad rows consume the same draw tail).
+    """
+    import math
+
+    images = jnp.asarray(images)
+    n = images.shape[0]
+    batch_size = min(batch_size, n)
+    num_batches = math.ceil(n / batch_size)
+    keys = synth_batch_keys(seed, num_batches)
+    parts = []
+    for i in range(num_batches):
+        lo, hi = i * batch_size, min((i + 1) * batch_size, n)
+        b = images[lo:hi]
+        short = batch_size - (hi - lo)
+        if short:  # same padded draw shape as the fast path's wrap pad
+            b = jnp.concatenate([b, images[:short]])
+        parts.append(
+            add_noise_channels(b, keys[i], num_noise=num_noise, var=var)[
+                : hi - lo
+            ]
+        )
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
