@@ -156,6 +156,23 @@ def _build_train(model: ResNet, learning_rate: float, weight_decay: float):
     return tx, make_train_step(model, tx)
 
 
+@functools.lru_cache(maxsize=16)
+def _init_jit(model: ResNet, learning_rate: float, weight_decay: float):
+    """Jitted (rng, x0) -> (params, opt_state), cached per config.
+
+    Un-jitted ``model.init`` + ``tx.init`` run EAGERLY — 100+ tiny device
+    dispatches (one per layer init / zeros_like leaf). Through the remote
+    device link that queue costs ~2 s per ``fit_cnn`` call, ~3x the actual
+    8-epoch train compute. One fused dispatch makes init free."""
+    tx, _ = _build_train(model, learning_rate, weight_decay)
+
+    def f(rng, x0):
+        params = model.init(rng, x0)["params"]
+        return params, tx.init(params)
+
+    return jax.jit(f)
+
+
 @functools.partial(jax.jit, static_argnames=("step", "data_shard"))
 def _epoch_fn(params, opt_state, images_all, y_all, idx_all, *, step,
               data_shard):
@@ -205,11 +222,10 @@ def fit_cnn(
 
     model = make_resnet(cfg.num_classes, width=cfg.width, depth=cfg.depth)
     rng = jax.random.key(cfg.seed)
-    params = model.init(
-        rng, jnp.zeros((1,) + images_all.shape[1:], jnp.float32)
-    )["params"]
     tx, step = _build_train(model, cfg.learning_rate, cfg.weight_decay)
-    opt_state = tx.init(params)
+    params, opt_state = _init_jit(model, cfg.learning_rate, cfg.weight_decay)(
+        rng, jnp.zeros((1,) + images_all.shape[1:], jnp.float32)
+    )
 
     data_shard = NamedSharding(mesh, P("data")) if mesh is not None else None
 
@@ -228,6 +244,13 @@ def fit_cnn(
     rng_np = np.random.default_rng(cfg.seed)
     y_all = jax.nn.one_hot(jnp.asarray(y_idx), cfg.num_classes)
     history = []
+    # When nothing needs the loss mid-training, defer every loss fetch to the
+    # end: a blocking float() per epoch is a full device-link round trip
+    # (30-70 ms through the remote tunnel) that also serializes the epoch
+    # dispatches. With deferred fetches all epochs enqueue back-to-back and
+    # the link latency is paid once.
+    eager_history = verbose or images_eval is not None
+    epoch_losses: list = []
     for epoch in range(cfg.epochs):
         order = rng_np.permutation(n)
         pad = steps_per_epoch * bs - n
@@ -238,14 +261,22 @@ def fit_cnn(
             params, opt_state, images_all, y_all, idx_all,
             step=step, data_shard=data_shard,
         )
-        entry = {"epoch": epoch, "loss": float(jnp.mean(losses))}
-        if images_eval is not None:
-            head = CNNHead(model=model, params=params, classes=classes, mesh=mesh,
-                           config=cfg)
-            entry["eval_acc"] = head.score(images_eval, labels_eval)
-        history.append(entry)
-        if verbose:
-            print(entry)
+        if eager_history:
+            entry = {"epoch": epoch, "loss": float(jnp.mean(losses))}
+            if images_eval is not None:
+                head = CNNHead(model=model, params=params, classes=classes,
+                               mesh=mesh, config=cfg)
+                entry["eval_acc"] = head.score(images_eval, labels_eval)
+            history.append(entry)
+            if verbose:
+                print(entry)
+        else:
+            epoch_losses.append(jnp.mean(losses))
+    if not eager_history and epoch_losses:
+        means = np.asarray(jnp.stack(epoch_losses))  # one fetch for all epochs
+        history = [
+            {"epoch": e, "loss": float(m)} for e, m in enumerate(means)
+        ]
     return CNNHead(
         model=model, params=params, classes=classes, mesh=mesh, config=cfg,
         history=history,
