@@ -44,6 +44,25 @@ def test_cnn_learns(trained_head, tiny_dataset):
     assert trained_head.score(images, labels) > 0.6
 
 
+def test_cnn_history_deferred_matches_eager(tiny_dataset, capsys):
+    """fit_cnn defers the per-epoch loss fetch when nothing consumes it
+    mid-train (one stacked fetch at the end instead of a blocking link
+    round trip per epoch); the recorded history must be identical to the
+    eager (verbose) path — same seed, same f32 epoch-mean losses."""
+    images, labels = tiny_dataset
+    cfg = CNNConfig(
+        num_classes=3, width=8, depth="10", epochs=3, batch_size=16,
+        learning_rate=3e-3, seed=11,
+    )
+    deferred = fit_cnn(images, labels, config=cfg)  # not verbose, no eval
+    eager = fit_cnn(images, labels, config=cfg, verbose=True)
+    assert capsys.readouterr().out.count("loss") == 3  # eager printed epochs
+    assert len(deferred.history) == len(eager.history) == 3
+    for d, e in zip(deferred.history, eager.history):
+        assert d["epoch"] == e["epoch"]
+        assert d["loss"] == e["loss"]  # bit-equal: same jits, same seed
+
+
 def test_cnn_trains_with_remainder_and_tiny_datasets(tiny_dataset):
     """The tail batch must train (padded wrap-around order), including the
     extreme n < batch_size case that used to train on nothing."""
