@@ -129,3 +129,15 @@ def test_shard_across_processes_single_process():
     np.testing.assert_array_equal(
         np.asarray(X), np.arange(n * 4 * 3, dtype=np.float32).reshape(n * 4, 3)
     )
+
+
+def test_partial_topology_raises():
+    """An explicit num_processes/process_id without a coordinator must raise
+    instead of silently degrading to a single-process run (each worker would
+    otherwise compute on 1/N of the data and report wrong results)."""
+    from tpumcia.parallel.distributed import init_distributed
+
+    with pytest.raises(ValueError, match="coordinator"):
+        init_distributed(num_processes=4, process_id=0)
+    with pytest.raises(ValueError, match="coordinator"):
+        init_distributed(process_id=1)

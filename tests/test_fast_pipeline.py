@@ -298,3 +298,50 @@ def test_synth_identical_across_paths(workload):
             b = np.concatenate([b, gray[: 48 - (hi - lo)]])
         manual.append(np.asarray(add_noise_channels(b, keys[i]))[: hi - lo])
     np.testing.assert_array_equal(out, np.concatenate(manual))
+
+
+def test_keep_device_values_requires_fast_path(workload):
+    """keep_device_values=True outside the hybrid fast path must raise (the
+    fallback paths have no device-resident copy; silently returning
+    device_values=None would break downstream fused-head callers)."""
+    import pytest
+
+    from tpumcia.config import FeatureConfig
+    from tpumcia.features.extract import extract_features_batched
+
+    gray, _ = workload
+    imgs = np.stack([gray[:8]] * 3, axis=-1)
+    with pytest.raises(ValueError, match="keep_device_values"):
+        extract_features_batched(
+            imgs, config=FeatureConfig(precision="exact"),
+            keep_device_values=True,
+        )
+
+
+def test_fast_path_predicates_shared():
+    """extract_features' single-dispatch branch, the batched API, and the
+    streaming wire mode must all consult hybrid_wire_ok — eligibility rules
+    drifting apart would route configs through the u32 wire whose
+    exact-integer bounds they violate."""
+    from tpumcia.config import FeatureConfig, GLCMConfig
+    from tpumcia.features.extract import batched_fast_path_ok, hybrid_wire_ok
+
+    ok = FeatureConfig()
+    assert hybrid_wire_ok(ok) and batched_fast_path_ok(None, ok)
+    # each disqualifier flips both predicates
+    for cfg in (
+        FeatureConfig(precision="exact"),
+        FeatureConfig(glcm=GLCMConfig(levels=512)),
+        FeatureConfig(include_intensity=False),
+        FeatureConfig(include_glcm=False),
+        FeatureConfig(glcm=GLCMConfig(distance=(5, 10))),
+    ):
+        assert not hybrid_wire_ok(cfg)
+        assert not batched_fast_path_ok(None, cfg)
+    # the pixel bound only applies when the shape is known
+    assert hybrid_wire_ok(ok, (4, 64, 64, 3))
+    assert not hybrid_wire_ok(ok, (4, 256, 256, 3))
+    # morphology only disqualifies the batched/streaming wire pipelines
+    morph = FeatureConfig(include_morphology=True)
+    assert hybrid_wire_ok(morph)
+    assert not batched_fast_path_ok(None, morph)

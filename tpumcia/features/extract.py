@@ -118,8 +118,10 @@ def extract_features(
     config : FeatureConfig; defaults mirror the notebook (GLCM distance 5,
         angle 0, 256 levels).
     mesh : optional jax.sharding.Mesh — shard the batch over its ``data``
-        axis (shard_map SPMD; SURVEY.md §2.4). Feature values are identical
-        to the single-device path (the statistics are exact integers).
+        axis (shard_map SPMD; SURVEY.md §2.4). Integer-derived statistics
+        match the single-device path exactly; f32-summed fields (central
+        moments, entropy, homogeneity) agree to ~1e-4 relative (different
+        reduction order).
     """
     cfg = config or FeatureConfig()
     if not (cfg.include_intensity or cfg.include_glcm):
@@ -183,13 +185,12 @@ def extract_features(
             else degenerate | np.asarray(done.degenerate)
         )
 
+    # backend == "hybrid" already folds in the < 2^16 pixel bound (the
+    # hybrid->host demotion above); hybrid_wire_ok carries the structural
+    # conditions so all fast-path routers share one predicate. Morphology is
+    # appended after this block, so it does not gate the fused dispatch.
     single_dispatch = (
-        mesh is None
-        and backend == "hybrid"
-        and len(offsets) == 1
-        and cfg.include_intensity
-        and cfg.include_glcm
-        and cfg.glcm.levels <= 256
+        mesh is None and backend == "hybrid" and hybrid_wire_ok(cfg)
     )
     if single_dispatch:
         # stats -> u32 wire fused into ONE dispatch (each extra dispatch
@@ -377,9 +378,11 @@ class PendingFeatureMatrix:
         """Fetch the per-batch wires CONCURRENTLY (the link's per-transfer
         setup caps one stream well below aggregate bandwidth) and assemble
         the exact float64 matrix on worker threads."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        from tpumcia.features.hybrid import assemble_reduced, unpack_wire
+        from tpumcia.features.hybrid import (
+            _fetch_pool,
+            assemble_reduced,
+            unpack_wire,
+        )
 
         levels = self.config.glcm.levels
 
@@ -389,8 +392,9 @@ class PendingFeatureMatrix:
             keep = sl.stop - sl.start
             return done.values[:keep], np.asarray(done.degenerate)[:keep]
 
-        with ThreadPoolExecutor(min(6, len(self.wires))) as ex:
-            results = list(ex.map(one, zip(self.wires, self.slices)))
+        # the shared module-level pool: spawning/joining threads per call is
+        # real time on this throttled host (the reason _fetch_pool exists)
+        results = list(_fetch_pool().map(one, zip(self.wires, self.slices)))
 
         return FeatureMatrix(
             values=np.concatenate([v for v, _ in results]),
@@ -487,8 +491,12 @@ def extract_features_pending(
         if i >= in_flight and not (i - in_flight) % in_flight:
             # bound device residency: force the oldest outstanding window
             # to finish before enqueueing more (values stay on device; this
-            # only gates the enqueue pace for very large collections)
-            wires[i - in_flight].block_until_ready()
+            # only gates the enqueue pace for very large collections).
+            # NB: a one-element D2H fetch, not block_until_ready — through
+            # the remote device link block_until_ready returns before the
+            # dispatch has actually executed (CLAUDE.md), which would make
+            # this bound a no-op exactly in the huge-collection case.
+            np.asarray(wires[i - in_flight][:1, :1, :1])
         imgs_b = pad_batch(images, sl)
         mask_b = pad_batch(mask, sl) if mask is not None else None
         wire, f = _batch_fused_dispatch(
@@ -521,18 +529,32 @@ def extract_features_pending(
     )
 
 
-def batched_fast_path_ok(images_shape, cfg: FeatureConfig) -> bool:
-    """True when the fused batched hybrid wire path applies."""
+def hybrid_wire_ok(cfg: FeatureConfig, images_shape=None) -> bool:
+    """Single source of truth for the fused u32-wire eligibility: hybrid
+    precision, single GLCM offset, intensity+GLCM, <= 256 levels, and (when
+    the shape is known) < 2^16 pixels/channel — the wire's exact-integer
+    bounds (hybrid.py). Every fast-path router (``extract_features``'s
+    single-dispatch branch, the batched/pending APIs, the streaming wire
+    mode) must consult this predicate so the eligibility rules can never
+    drift apart."""
     offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
     return (
         cfg.precision == "hybrid"
         and cfg.glcm.levels <= 256
-        and images_shape[1] * images_shape[2] < 65536
-        and not cfg.include_morphology
         and cfg.include_intensity
         and cfg.include_glcm
         and len(offsets) == 1
+        and (
+            images_shape is None
+            or images_shape[1] * images_shape[2] < 65536
+        )
     )
+
+
+def batched_fast_path_ok(images_shape, cfg: FeatureConfig) -> bool:
+    """True when the fused batched hybrid wire path applies (the batched
+    pipeline additionally excludes morphology — it has no wire encoding)."""
+    return hybrid_wire_ok(cfg, images_shape) and not cfg.include_morphology
 
 
 def extract_features_batched(
@@ -554,10 +576,14 @@ def extract_features_batched(
     call. A single fixed batch shape also avoids one giant (or many
     diverse) XLA/Mosaic compiles. ``keep_device_values=True`` additionally
     returns a device-resident NaN-cleaned f32 copy of the matrix
-    (``FeatureMatrix.device_values``) computed inside the same dispatches.
+    (``FeatureMatrix.device_values``) computed inside the same dispatches;
+    it requires the fast path (a ValueError is raised otherwise — the
+    fallback paths have no device-resident copy to return).
 
-    Values are identical to :func:`extract_features` (per-image statistics
-    are exact). Falls back to sequential per-batch extraction for
+    Integer-derived statistics match :func:`extract_features` exactly; the
+    f32-summed fields (central moments, entropy, homogeneity) agree to
+    ~1e-4 relative (the fused wire dispatch sums them in a different
+    order). Falls back to sequential per-batch extraction for
     configurations outside the hybrid fast path (multi-offset, morphology,
     'exact'/'device' precision, >=2^16 pixels).
     """
@@ -565,6 +591,16 @@ def extract_features_batched(
     images = _as_level_array(images)
     n = len(images)
     fast = batched_fast_path_ok(images.shape, cfg)
+    if keep_device_values and not fast:
+        raise ValueError(
+            "keep_device_values=True requires the hybrid fast path "
+            "(precision='hybrid', single GLCM offset, intensity+GLCM, no "
+            "morphology, < 2^16 pixels/channel, levels <= 256) — the "
+            "fallback paths have no device-resident feature copy; got "
+            f"precision={cfg.precision!r}, offsets={cfg.glcm.offsets}, "
+            f"morphology={cfg.include_morphology}, "
+            f"image shape {tuple(images.shape)}"
+        )
     if n <= batch_size and not (fast and keep_device_values):
         return extract_features(
             images, mask=mask, config=cfg, channel_names=channel_names

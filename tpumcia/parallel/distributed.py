@@ -63,12 +63,19 @@ def init_distributed(
     # worker hosts; a single entry (or its absence) is a single-process run.
     # (Some single-chip tunnel environments export the variable too.)
     pod_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
-    on_tpu_pod = (
-        coordinator_address is None
-        and num_processes is None
-        and len([h for h in pod_hosts.split(",") if h.strip()]) > 1
-    )
+    on_tpu_pod = len([h for h in pod_hosts.split(",") if h.strip()]) > 1
     if coordinator_address is None and not on_tpu_pod:
+        if num_processes is not None or process_id is not None:
+            # a partially-specified topology must raise, not silently
+            # degrade to single-process (every worker would then compute on
+            # 1/N of the data and report wrong results)
+            raise ValueError(
+                "init_distributed: num_processes/process_id were specified "
+                f"(num_processes={num_processes}, process_id={process_id}) "
+                "but no coordinator address is configured and this is not a "
+                "multi-host TPU pod — pass coordinator_address or export "
+                "TPUMCIA_COORDINATOR"
+            )
         return False  # single-process run; nothing to initialize
 
     jax.distributed.initialize(

@@ -44,7 +44,7 @@ def _trim_stats(stats: SuffStats, orig_b: int) -> SuffStats:
     return SuffStats(*(None if s is None else s[:orig_b] for s in stats))
 
 
-def _data_out_specs(local, mesh, example_args):
+def _data_out_specs(local, example_args):
     """Out-specs matching the local function's actual output pytree (fields
     may be None on the reduced fast path), every array sharded over 'data'."""
     shapes = jax.eval_shape(local, *example_args)
@@ -100,7 +100,7 @@ def _sharded_stats_fn(
         local,
         mesh=mesh,
         in_specs=tuple([P("data")] * n_in + [P()]),
-        out_specs=_data_out_specs(local, mesh, example),
+        out_specs=_data_out_specs(local, example),
         # pallas_call's out_shape structs carry no vma annotation
         check_vma=not pallas,
     )
@@ -193,7 +193,7 @@ def _sharded_stats_multi_fn(
         local,
         mesh=mesh,
         in_specs=tuple([P("data")] * n_in + [P()]),
-        out_specs=_data_out_specs(local, mesh, example),
+        out_specs=_data_out_specs(local, example),
         check_vma=not pallas,
     )
     return jax.jit(fn)

@@ -147,16 +147,12 @@ def stream_extract(
     # side: shard i's fused stats->wire dispatch is enqueued, then shard
     # i-1's wire is fetched/assembled/saved while the device computes —
     # the per-shard wire round trip leaves the critical path
+    # shared predicate with extract_features_batched (the pixel-count bound
+    # is applied per shard below, once the first batch's shape is known)
+    from tpumcia.features.extract import batched_fast_path_ok
+
     offsets = cfg.glcm.offsets if cfg.include_glcm else [cfg.glcm.offset]
-    wire_mode = (
-        mesh is None
-        and cfg.precision == "hybrid"
-        and cfg.glcm.levels <= 256
-        and cfg.include_intensity
-        and cfg.include_glcm
-        and not cfg.include_morphology
-        and len(offsets) == 1
-    )
+    wire_mode = mesh is None and batched_fast_path_ok(None, cfg)
 
     computed = 0
     computed_imgs = 0  # actual image count (final shard may be partial)
