@@ -141,3 +141,97 @@ def test_partial_topology_raises():
         init_distributed(num_processes=4, process_id=0)
     with pytest.raises(ValueError, match="coordinator"):
         init_distributed(process_id=1)
+
+
+_EXTRACT_WORKER = r"""
+import sys
+import numpy as np
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+from tpumcia.parallel.distributed import init_distributed, shard_across_processes
+
+assert init_distributed(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+)
+
+import jax
+from tpumcia.parallel.mesh import make_mesh
+
+mesh = make_mesh()
+n_data = mesh.shape["data"]
+
+# both processes construct the identical full dataset deterministically;
+# each contributes its half of the rows to the global sharded batch
+rng = np.random.RandomState(0)
+B = 2 * n_data  # divisible by the data axis: no cross-process padding
+full = (rng.random((B, 16, 16, 3)) * 256).astype(np.uint8)
+half = B // 2
+X = shard_across_processes(full[pid * half:(pid + 1) * half], mesh)
+
+from tpumcia.parallel.sharding import sufficient_stats_sharded
+
+stats = sufficient_stats_sharded(X, mesh=mesh)
+
+from jax.experimental.multihost_utils import process_allgather
+from tpumcia.features.stats import SuffStats
+
+gathered = SuffStats(*(
+    None if s is None else np.asarray(process_allgather(s, tiled=True))
+    for s in stats
+))
+
+from tpumcia.features.finalize import finalize_features
+
+done = finalize_features(gathered, backend="host")
+
+from tpumcia.reference_impl import oracle
+
+ref = np.stack([oracle.feature_vector(im / 255.0) for im in full])
+err = np.nanmax(np.abs(done.values - ref))
+assert err < 1e-9, err
+print(f"EXTRACT{pid}_OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_feature_extraction(tmp_path):
+    """The sharded feature-extraction pipeline itself (not just the scaler
+    collectives) runs SPMD across PROCESS boundaries: two CPU processes form
+    one runtime, assemble a cross-process data-sharded batch, run
+    sufficient_stats_sharded over the global mesh, and the finalized
+    features match the reference oracle to 1e-9."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TPUMCIA_REEXECED"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    script = tmp_path / "extract_worker.py"
+    script.write_text(_EXTRACT_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=repo,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"EXTRACT{pid}_OK" in out, out

@@ -31,6 +31,19 @@ from tpumcia.features.stats import SuffStats, _single_image_stats, rescale_lut, 
 from tpumcia.models.scaler import MinMaxScaler
 
 
+@functools.lru_cache(maxsize=16)
+def _lut_for_mesh(levels: int, mesh: Mesh):
+    """Rescale LUT placed REPLICATED over the mesh (cached per (levels,
+    mesh)). A plain ``jnp.asarray`` would commit the table to one local
+    device — fine single-process, but a jit over a cross-process mesh
+    rejects inputs committed to a device subset, so multi-host extraction
+    needs the replicated placement (and the cache keeps the 256 KB table
+    from re-crossing the link every call)."""
+    from jax.sharding import NamedSharding
+
+    return jax.device_put(rescale_lut(levels), NamedSharding(mesh, P()))
+
+
 def _pad_to_multiple(arr, m: int):
     b = arr.shape[0]
     pad = (-b) % m
@@ -142,7 +155,7 @@ def sufficient_stats_sharded(
     img, orig_b = _pad_to_multiple(img, n_data)
     if has_mask:
         w, _ = _pad_to_multiple(w, n_data)
-    lut = jnp.asarray(rescale_lut(levels))
+    lut = _lut_for_mesh(levels, mesh)
 
     args = (img, w, lut) if has_mask else (img, lut)
     shapes = tuple((tuple(a.shape), jnp.dtype(a.dtype).name) for a in args)
@@ -227,7 +240,7 @@ def sufficient_stats_sharded_multi(
     img, orig_b = _pad_to_multiple(img, n_data)
     if has_mask:
         w, _ = _pad_to_multiple(w, n_data)
-    lut = jnp.asarray(rescale_lut(levels))
+    lut = _lut_for_mesh(levels, mesh)
 
     args = (img, w, lut) if has_mask else (img, lut)
     shapes = tuple((tuple(a.shape), jnp.dtype(a.dtype).name) for a in args)
