@@ -192,6 +192,31 @@ ref = np.stack([oracle.feature_vector(im / 255.0) for im in full])
 err = np.nanmax(np.abs(done.values - ref))
 assert err < 1e-9, err
 print(f"EXTRACT{pid}_OK")
+
+# ---- scaler fit + permutation sweep SPMD across the same 2-process mesh ----
+from tpumcia.parallel.sharding import (
+    fit_scaler_sharded,
+    permutation_importance_sharded,
+)
+from tpumcia.config import HeadConfig
+from tpumcia.models import fit_head
+from tpumcia.importance.permutation import permutation_importance
+
+Xf = np.nan_to_num(done.values).astype(np.float32)
+y = (np.arange(B) % 2).astype(np.int32)
+
+scaler = fit_scaler_sharded(Xf, mesh=mesh)  # host input, identical per process
+np.testing.assert_allclose(np.asarray(scaler.data_min), Xf.min(0), atol=1e-6)
+np.testing.assert_allclose(np.asarray(scaler.data_max), Xf.max(0), atol=1e-6)
+
+Xs = np.asarray(scaler.transform(Xf))
+head = fit_head(Xs, y, config=HeadConfig(kind="logistic", num_steps=50))
+single = permutation_importance(head, Xs, y, n_repeats=3, seed=42)
+sharded = permutation_importance_sharded(
+    head, Xs, y, mesh=mesh, n_repeats=3, seed=42
+)
+np.testing.assert_allclose(sharded.importances, single.importances, atol=1e-6)
+print(f"SWEEP{pid}_OK")
 """
 
 
@@ -235,3 +260,4 @@ def test_two_process_feature_extraction(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"EXTRACT{pid}_OK" in out, out
+        assert f"SWEEP{pid}_OK" in out, out

@@ -296,7 +296,21 @@ def _sharded_minmax_fn(mesh):
 
 def fit_scaler_sharded(X, *, mesh: Mesh) -> MinMaxScaler:
     """Global per-feature min/max over a data-sharded matrix, reduced with
-    collectives over the mesh (the multi-device MinMaxScaler fit)."""
+    collectives over the mesh (the multi-device MinMaxScaler fit).
+
+    Multi-process meshes: pass either a global data-sharded array (from
+    ``parallel.distributed.shard_across_processes``) or a host array that is
+    identical on every process (it is then sharded over the mesh here)."""
+    if jax.process_count() > 1 and not isinstance(X, jax.Array):
+        from jax.sharding import NamedSharding
+
+        Xh = np.asarray(X, np.float32)
+        pad = (-Xh.shape[0]) % mesh.shape["data"]
+        if pad:  # pad rows must not perturb min/max: replicate row 0
+            Xh = np.concatenate([Xh, np.tile(Xh[:1], (pad, 1))])
+        Xp = jax.device_put(Xh, NamedSharding(mesh, P("data")))
+        lo, hi = _sharded_minmax_fn(mesh)(Xp)
+        return MinMaxScaler.from_stats(lo[0], hi[0])
     X = jnp.asarray(X, jnp.float32)
     n_data = mesh.shape["data"]
     Xp, orig = _pad_to_multiple(X, n_data)
@@ -343,6 +357,27 @@ def permutation_importance_sharded(
     masks_p, _ = _pad_to_multiple(jnp.asarray(masks), n_data)
     keys = jax.random.split(jax.random.key(seed), masks_p.shape[0] * n_repeats)
     keys = keys.reshape(masks_p.shape[0], n_repeats)
+
+    if jax.process_count() > 1:
+        # a cross-process jit rejects inputs committed to one local device:
+        # re-place the (identical-on-every-process) sweep inputs over the
+        # mesh — masks/keys data-sharded, X / labels / head replicated.
+        # Single-process calls skip this entirely (no extra transfers).
+        from jax.sharding import NamedSharding
+
+        rep = NamedSharding(mesh, P())
+        row = NamedSharding(mesh, P("data"))
+        masks_p = jax.device_put(np.asarray(masks_p), row)
+        keys = jax.device_put(np.asarray(jax.random.key_data(keys)), row)
+        keys = jax.jit(
+            jax.random.wrap_key_data, out_shardings=row
+        )(keys)
+        if X.is_fully_addressable:  # an already-global X is left in place
+            X = jax.device_put(np.asarray(X, np.float32), rep)
+        y_idx = jax.device_put(np.asarray(y_idx), rep)
+        apply_fn = jax.tree.map(
+            lambda l: jax.device_put(np.asarray(l), rep), apply_fn
+        )
 
     scores = _sharded_sweep_fn(mesh)(masks_p, keys, X, y_idx, apply_fn)[:G]
     baseline = float(_accuracy_jit(apply_fn, X, y_idx))
