@@ -252,3 +252,28 @@ def test_run_pipeline_smoke():
     assert res.channel_result.top_channel() == 0
     assert "precision" in res.report
     assert res.timings["features_s"] > 0
+
+
+def test_stream_partial_final_shard_matches_direct(tmp_path):
+    """The wire mode pads a partial final shard to the fixed shard shape
+    (one compiled dispatch shape) and trims the pad rows — values must
+    match direct extraction exactly, including the last shard."""
+    from tpumcia.config import FeatureConfig
+    from tpumcia.features.extract import extract_features
+
+    images, labels, _ = synthetic_multichannel(4, num_classes=3, seed=7)
+    assert len(images) % 5 != 0  # 12 images -> shards of 5, 5, 2
+
+    def fetch(idx):
+        return images[idx], None, labels[idx]
+
+    cfg = FeatureConfig(use_pallas="never")
+    res = stream_extract(
+        fetch, len(images), tmp_path / "s", shard_size=5, config=cfg
+    )
+    direct = extract_features(images, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.features.values), np.asarray(direct.values),
+        rtol=1e-6, atol=1e-9,
+    )
+    np.testing.assert_array_equal(res.labels, labels)

@@ -453,8 +453,7 @@ def extract_features_pending(
         # or mislabeled values — use extract_features(_batched) instead
         raise ValueError(
             "extract_features_pending requires the hybrid fast path "
-            "(precision='hybrid', single GLCM offset, intensity+GLCM, no "
-            "morphology, < 2^16 pixels/channel, levels <= 256); got "
+            f"{FAST_PATH_REQS}; got "
             f"precision={cfg.precision!r}, offsets={cfg.glcm.offsets}, "
             f"image shape {tuple(images.shape)}"
         )
@@ -529,6 +528,14 @@ def extract_features_pending(
     )
 
 
+# the one statement of the eligibility rules for error messages — edit it
+# together with hybrid_wire_ok below
+FAST_PATH_REQS = (
+    "(precision='hybrid', single GLCM offset, intensity+GLCM, no "
+    "morphology, < 2^16 pixels/channel, levels <= 256)"
+)
+
+
 def hybrid_wire_ok(cfg: FeatureConfig, images_shape=None) -> bool:
     """Single source of truth for the fused u32-wire eligibility: hybrid
     precision, single GLCM offset, intensity+GLCM, <= 256 levels, and (when
@@ -594,8 +601,7 @@ def extract_features_batched(
     if keep_device_values and not fast:
         raise ValueError(
             "keep_device_values=True requires the hybrid fast path "
-            "(precision='hybrid', single GLCM offset, intensity+GLCM, no "
-            "morphology, < 2^16 pixels/channel, levels <= 256) — the "
+            f"{FAST_PATH_REQS} — the "
             "fallback paths have no device-resident feature copy; got "
             f"precision={cfg.precision!r}, offsets={cfg.glcm.offsets}, "
             f"morphology={cfg.include_morphology}, "

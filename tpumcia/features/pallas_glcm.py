@@ -133,6 +133,31 @@ def _oh_dtypes():
     return jnp.int8, jnp.int32
 
 
+def _nibble_rows(row16, oh_t):
+    """Split the (HI, 16) LUT value grid into per-cell nibble operands for
+    the v5 value-recovery matmuls. Nibbles span 0..15, which signed int4
+    CANNOT represent (range -8..7) — so the row operands never drop below
+    int8 regardless of the one-hot dtype knob (an int4 row dtype would
+    silently wrap 8..15 negative and corrupt every GLCM statistic)."""
+    row_t = jnp.int8 if jnp.dtype(oh_t).name in ("int4", "uint4") else oh_t
+    return (row16 >> 4).astype(row_t), (row16 & 15).astype(row_t)
+
+
+def _resc_values(hi_b, lo_oh, rowh, rowl, acc):
+    """Rescaled values from NIBBLE one-hots (kernel v5): with the LUT row
+    laid out as a (HI, 16) grid split into per-cell nibbles,
+    ``R = rowh @ lo_oh * 16 + rowl @ lo_oh`` holds ``row[16h + lo(p)]``
+    for every hi-bucket h, and the pixel's value is the hi-bucket select
+    ``sum(hi_b * R, axis=0)``. Two (HI, 16) x (16, CH) matmuls + small
+    elementwise work instead of any (L, CH) compare. Shared by the single-
+    and multi-offset kernels."""
+    i32 = jnp.int32
+    Rh = jnp.dot(rowh, lo_oh, preferred_element_type=acc)  # (HI, CH)
+    Rl = jnp.dot(rowl, lo_oh, preferred_element_type=acc)
+    R = Rh.astype(i32) * 16 + Rl.astype(i32)
+    return jnp.sum(hi_b.astype(i32) * R, axis=0, keepdims=True)  # (1, CH)
+
+
 def _lanedot(a, b, acc):
     """(M, N) x (K, N) -> (M, K): contraction over the lane axis (A @ B^T)."""
     return jax.lax.dot_general(
@@ -273,18 +298,6 @@ def _kernel(
             int(np.sum((ri >= r0) & (ri < r1) & (ci >= c0) & (ci < c1)))
         )
 
-    def _resc_values(hi_b, lo_oh, rowh, rowl):
-        """Rescaled values from NIBBLE one-hots (kernel v5): with the LUT
-        row laid out as a (HI, 16) grid split into per-cell nibbles,
-        ``R = rowh @ lo_oh * 16 + rowl @ lo_oh`` holds ``row[16h + lo(p)]``
-        for every hi-bucket h, and the pixel's value is the hi-bucket
-        select ``sum(hi_b * R, axis=0)``. Two (HI, 16) x (16, CH) matmuls
-        + small elementwise work instead of any (L, CH) compare."""
-        Rh = jnp.dot(rowh, lo_oh, preferred_element_type=acc)  # (HI, CH)
-        Rl = jnp.dot(rowl, lo_oh, preferred_element_type=acc)
-        R = Rh.astype(i32) * 16 + Rl.astype(i32)
-        return jnp.sum(hi_b.astype(i32) * R, axis=0, keepdims=True)  # (1, CH)
-
     for c in range(num_channels):
         raw_all = raw_ref[0, c]  # (K, CH) i32
         rsh_all = rsh_ref[0, c]
@@ -295,8 +308,7 @@ def _kernel(
         # LUT row as a (HI, 16) value grid, split into per-cell nibbles so
         # the value-recovery matmuls run on narrow (int8/bf16) operands
         row16 = row_ref[0, c].astype(i32)  # (HI, 16), row16[h, l] = row[16h+l]
-        rowh = (row16 >> 4).astype(oh_t)
-        rowl = (row16 & 15).astype(oh_t)
+        rowh, rowl = _nibble_rows(row16, oh_t)
 
         hist16 = jnp.zeros((HI, 16), acc)
         dh16 = jnp.zeros((DHI, 16), acc)
@@ -330,10 +342,10 @@ def _kernel(
             # folds into the left stream as a -1 sentinel. The left side
             # reuses the histogram's nibble one-hots (masked hi-buckets
             # zero the value — the sentinel overrides those pixels anyway).
-            resc_l = _resc_values(oh_hi_b, oh_lo, rowh, rowl)
+            resc_l = _resc_values(oh_hi_b, oh_lo, rowh, rowl, acc)
             rhi_b = (rsh >> 4) == iota_hi
             rlo = ((rsh & 15) == iota_16).astype(oh_t)
-            resc_r = _resc_values(rhi_b, rlo, rowh, rowl)
+            resc_r = _resc_values(rhi_b, rlo, rowh, rowl, acc)
 
             rescm = jnp.where(pwb, resc_l, -1)
             oh_l = (rescm == iota_L).astype(oh_t)
@@ -566,13 +578,6 @@ def _kernel_multi(
     lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
     ones_L = jnp.ones((1, L), f32)
 
-    def _resc_values(hi_b, lo_oh, rowh, rowl):
-        """See the single-offset kernel: values via the nibble LUT grid."""
-        Rh = jnp.dot(rowh, lo_oh, preferred_element_type=acc)
-        Rl = jnp.dot(rowl, lo_oh, preferred_element_type=acc)
-        R = Rh.astype(i32) * 16 + Rl.astype(i32)
-        return jnp.sum(hi_b.astype(i32) * R, axis=0, keepdims=True)
-
     CH = raw_ref.shape[-1]
     inb, inb_full, n_inb = [], [], []
     valid = [[] for _ in range(O)]
@@ -601,8 +606,7 @@ def _kernel_multi(
             wi_all = wi_ref[0, c] > 0
 
         row16 = row_ref[0, c].astype(i32)  # (HI, 16) value grid
-        rowh = (row16 >> 4).astype(oh_t)
-        rowl = (row16 & 15).astype(oh_t)
+        rowh, rowl = _nibble_rows(row16, oh_t)
 
         hist16 = jnp.zeros((HI, 16), acc)
         dh16 = [jnp.zeros((DHI, 16), acc) for _ in range(O)]
@@ -624,7 +628,7 @@ def _kernel_multi(
             # shared left side: rescaled values + one-hot (mask-aliased
             # pixels resolve to level 0 — the RIGHT stream's sentinel zeroes
             # those pairs, exactly like the previous unmasked left one-hot)
-            resc_l = _resc_values(oh_hi_b, oh_lo, rowh, rowl)
+            resc_l = _resc_values(oh_hi_b, oh_lo, rowh, rowl, acc)
             oh_l = (resc_l == iota_L).astype(oh_t)
 
             for o in range(O):
@@ -637,7 +641,7 @@ def _kernel_multi(
                     pwb = valid[o][k]
                 rhi_b = (rsh >> 4) == iota_hi
                 rlo = ((rsh & 15) == iota_16).astype(oh_t)
-                resc_r = _resc_values(rhi_b, rlo, rowh, rowl)
+                resc_r = _resc_values(rhi_b, rlo, rowh, rowl, acc)
                 rescm = jnp.where(pwb, resc_r, -1)
                 oh_r = (rescm == iota_L).astype(oh_t)
                 glcm[o] += _lanedot(oh_l, oh_r, acc)

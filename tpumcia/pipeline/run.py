@@ -207,7 +207,7 @@ def run_pipeline(
 
         fm = extract_features_batched(
             images, mask=mask, config=cfg.features,
-            channel_names=channel_names,
+            channel_names=channel_names, batch_size=cfg.batch_size,
         )
     else:
         fm = extract_features(

@@ -232,8 +232,24 @@ def stream_extract(
             )
             t_save = time.perf_counter()
             profile["device_s"] += t_save - t_fetch
-            save_shard(start, stop, done.values, done.degenerate, labels)
+            keep = stop - start  # drop wrap-around pad rows (partial shard)
+            save_shard(
+                start, stop, done.values[:keep],
+                np.asarray(done.degenerate)[:keep], labels,
+            )
             profile["save_s"] += time.perf_counter() - t_save
+
+        def pad_to_shard(arr):
+            # one compiled dispatch shape for every shard: a partial final
+            # shard is wrap-padded to shard_size (a fresh Mosaic compile at
+            # an odd shape costs minutes through the remote-compile tunnel)
+            import jax.numpy as jnp
+
+            short = shard_size - arr.shape[0]
+            if short <= 0:
+                return arr
+            idx = np.arange(short) % arr.shape[0]
+            return jnp.concatenate([jnp.asarray(arr), jnp.asarray(arr)[idx]])
 
         for start, stop in pending:
             if first_batch is not None:
@@ -246,7 +262,9 @@ def stream_extract(
             if num_channels is None:
                 num_channels = int(images.shape[-1])
             wire, _ = _batch_fused_dispatch(  # async enqueue
-                images, mask, None, lut,
+                pad_to_shard(images),
+                pad_to_shard(mask) if mask is not None else None,
+                None, lut,
                 levels=cfg.glcm.levels, offset=offset, use_pallas=use_pallas,
                 keep_device=False, chunk_size=cfg.chunk_size,
                 onehot_dtype=cfg.onehot_dtype,
