@@ -345,3 +345,22 @@ def test_fast_path_predicates_shared():
     morph = FeatureConfig(include_morphology=True)
     assert hybrid_wire_ok(morph)
     assert not batched_fast_path_ok(None, morph)
+
+
+def test_pending_in_flight_pacing(workload):
+    """With in_flight smaller than the batch count the enqueue loop paces
+    itself by fetching one element of the oldest outstanding wire (a real
+    D2H round trip — block_until_ready does not synchronize through the
+    remote link). Values must be unaffected by the window size."""
+    import jax
+
+    from tpumcia.features.extract import extract_features_pending
+
+    gray, _ = workload
+    from tpumcia.preprocess.synth import add_noise_channels
+
+    imgs = np.asarray(add_noise_channels(gray[:96], jax.random.key(3)))
+    wide = extract_features_pending(imgs, batch_size=16, in_flight=8).result()
+    paced = extract_features_pending(imgs, batch_size=16, in_flight=2).result()
+    np.testing.assert_array_equal(wide.values, paced.values)
+    np.testing.assert_array_equal(wide.degenerate, paced.degenerate)
