@@ -261,3 +261,91 @@ def test_two_process_feature_extraction(tmp_path):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"EXTRACT{pid}_OK" in out, out
         assert f"SWEEP{pid}_OK" in out, out
+
+
+_CNN_WORKER = r"""
+import sys
+import numpy as np
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+from tpumcia.parallel.distributed import init_distributed
+
+assert init_distributed(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+)
+
+import jax
+from tpumcia.parallel.mesh import make_mesh
+from tpumcia.models.train import CNNConfig, fit_cnn
+
+mesh = make_mesh()
+
+# identical dataset on both processes (fit_cnn's multi-process contract);
+# a learnable signal in channel 0 so the loss actually falls
+rng = np.random.RandomState(0)
+n = 16
+imgs = rng.random((n, 16, 16, 3)).astype(np.float32)
+labels = (np.arange(n) % 2).astype(np.int32)
+imgs[labels == 1, :, :, 0] += 1.0
+
+head = fit_cnn(
+    imgs, labels,
+    config=CNNConfig(
+        num_classes=2, width=8, epochs=2, batch_size=8, seed=0
+    ),
+    mesh=mesh,
+)
+losses = [h["loss"] for h in head.history]
+assert len(losses) == 2 and all(np.isfinite(losses)), losses
+acc = head.score(imgs, labels)  # predict path under the cross-process mesh
+assert 0.0 <= acc <= 1.0
+print(f"CNN{pid}_LOSSES={losses[0]:.6f},{losses[1]:.6f}")
+print(f"CNN{pid}_OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_cnn_train(tmp_path):
+    """fit_cnn trains data-parallel across PROCESS boundaries: the batch is
+    sharded over a 2-process mesh (gradient psum over the process link) and
+    both processes observe identical loss histories."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TPUMCIA_REEXECED"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    script = tmp_path / "cnn_worker.py"
+    script.write_text(_CNN_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=repo,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    losses = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"CNN{pid}_OK" in out, out
+        line = [l for l in out.splitlines() if f"CNN{pid}_LOSSES=" in l][0]
+        losses.append(line.split("=", 1)[1])
+    # the replicated computation must be identical on both processes
+    assert losses[0] == losses[1], losses

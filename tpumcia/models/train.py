@@ -87,7 +87,15 @@ class CNNHead:
         return Partial(_model_apply_for(self.model), self.params)
 
     def predict_logits(self, images) -> jax.Array:
-        return _apply_logits(self.apply_fn(), jnp.asarray(images, jnp.float32))
+        x = jnp.asarray(images, jnp.float32)
+        if self.mesh is not None and jax.process_count() > 1:
+            # params live on a cross-process mesh: a locally-committed x
+            # would be rejected by the jit — replicate it over the mesh
+            # (inference inputs are identical on every process)
+            x = jax.device_put(
+                np.asarray(x), NamedSharding(self.mesh, P())
+            )
+        return _apply_logits(self.apply_fn(), x)
 
     def predict_proba(self, images) -> jax.Array:
         return jax.nn.softmax(self.predict_logits(images), axis=-1)
@@ -228,11 +236,26 @@ def fit_cnn(
     )
 
     data_shard = NamedSharding(mesh, P("data")) if mesh is not None else None
+    multiproc = mesh is not None and jax.process_count() > 1
 
     if mesh is not None:
         # params/opt-state shardings are seeded by the device_put below and
         # then propagated by jit; epoch data stays replicated, each gathered
         # batch is constrained onto the data axis.
+        if multiproc:
+            # a cross-process jit rejects locally-committed inputs: pull the
+            # (identical per process) locally-initialised state to host and
+            # re-place it over the mesh. fit_cnn's multi-process contract is
+            # the replicated-dataset one: every process passes the SAME full
+            # (images, labels); the per-epoch sampling is seeded so all
+            # processes drive identical global steps, with the batch sharded
+            # over the mesh's data axis (DCN/ICI gradient psum via jit).
+            rep = NamedSharding(mesh, P())
+            params = jax.tree.map(np.asarray, params)
+            opt_state = jax.device_put(
+                jax.tree.map(np.asarray, opt_state), rep
+            )
+            images_all = jax.device_put(np.asarray(images_all), rep)
         params = jax.device_put(params, _param_sharding(params, mesh))
 
     # The epoch order is padded with wrap-around samples to a multiple of
@@ -243,6 +266,8 @@ def fit_cnn(
     steps_per_epoch = -(-n // bs)
     rng_np = np.random.default_rng(cfg.seed)
     y_all = jax.nn.one_hot(jnp.asarray(y_idx), cfg.num_classes)
+    if multiproc:
+        y_all = jax.device_put(np.asarray(y_all), NamedSharding(mesh, P()))
     history = []
     # When nothing needs the loss mid-training, defer every loss fetch to the
     # end: a blocking float() per epoch is a full device-link round trip
@@ -256,7 +281,12 @@ def fit_cnn(
         pad = steps_per_epoch * bs - n
         if pad:
             order = np.concatenate([order, order[:pad]])
-        idx_all = jnp.asarray(order.reshape(steps_per_epoch, bs))
+        idx_all = order.reshape(steps_per_epoch, bs)
+        idx_all = (
+            jax.device_put(idx_all, NamedSharding(mesh, P()))
+            if multiproc
+            else jnp.asarray(idx_all)
+        )
         params, opt_state, losses = _epoch_fn(
             params, opt_state, images_all, y_all, idx_all,
             step=step, data_shard=data_shard,
