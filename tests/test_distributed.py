@@ -301,6 +301,17 @@ losses = [h["loss"] for h in head.history]
 assert len(losses) == 2 and all(np.isfinite(losses)), losses
 acc = head.score(imgs, labels)  # predict path under the cross-process mesh
 assert 0.0 <= acc <= 1.0
+
+# the CNN importance probes over the cross-process mesh
+from tpumcia.importance.occlusion import (
+    channel_occlusion_importance,
+    channel_permutation_importance_images,
+)
+
+occ = channel_occlusion_importance(head, imgs, labels)
+perm = channel_permutation_importance_images(head, imgs, labels, n_repeats=2)
+assert occ.shape == (3,) and np.isfinite(occ).all(), occ
+assert perm.shape == (3, 2) and np.isfinite(perm).all(), perm
 print(f"CNN{pid}_LOSSES={losses[0]:.6f},{losses[1]:.6f}")
 print(f"CNN{pid}_OK")
 """

@@ -31,6 +31,30 @@ def _labels_to_idx(classes, y):
     return jnp.asarray(np.array([lookup[v] for v in np.asarray(y)], np.int32))
 
 
+def _replicate_for(head, *arrays):
+    """Re-place sweep inputs over the head's mesh when the runtime spans
+    processes (a cross-process jit rejects locally-committed arrays; sweep
+    inputs are identical on every process). No-op otherwise."""
+    mesh = getattr(head, "mesh", None)
+    if mesh is None or jax.process_count() == 1:
+        return arrays
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+
+    def put(a):
+        if isinstance(a, jax.Array) and jnp.issubdtype(
+            a.dtype, jax.dtypes.prng_key
+        ):
+            # typed PRNG keys can't round-trip through numpy: ship the key
+            # data and re-wrap (same stream) as a global op
+            data = jax.device_put(np.asarray(jax.random.key_data(a)), rep)
+            return jax.random.wrap_key_data(data)
+        return jax.device_put(np.asarray(a), rep)
+
+    return tuple(put(a) for a in arrays)
+
+
 @jax.jit
 def _occlusion_sweep(apply_fn, x, y_idx, fill):
     C = x.shape[-1]
@@ -53,6 +77,7 @@ def channel_occlusion_importance(head, images, y, *, fill: float = 0.0) -> np.nd
     """(C,) accuracy drops when each channel is replaced by ``fill``."""
     x = jnp.asarray(images, jnp.float32)
     y_idx = _labels_to_idx(head.classes, y)
+    x, y_idx = _replicate_for(head, x, y_idx)
     baseline, drops = _occlusion_sweep(
         head.apply_fn(), x, y_idx, jnp.float32(fill)
     )
@@ -93,8 +118,9 @@ def channel_permutation_importance_images(
     batch (each repeat a fresh permutation)."""
     x = jnp.asarray(images, jnp.float32)
     y_idx = _labels_to_idx(head.classes, y)
+    x, y_idx, key = _replicate_for(head, x, y_idx, jax.random.key(seed))
     baseline, drops = _channel_perm_sweep(
-        head.apply_fn(), x, y_idx, jax.random.key(seed), n_repeats=n_repeats
+        head.apply_fn(), x, y_idx, key, n_repeats=n_repeats
     )
     return np.asarray(drops, np.float64)
 
@@ -130,6 +156,7 @@ def occlusion_map(
     rows = list(range(0, H - window + 1, stride)) or [0]
     cols = list(range(0, W - window + 1, stride)) or [0]
     positions = jnp.asarray([(r, c) for r in rows for c in cols], jnp.int32)
+    x, y_idx, positions = _replicate_for(head, x, y_idx, positions)
 
     drops = np.asarray(
         _occlusion_map_sweep(
