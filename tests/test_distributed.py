@@ -360,3 +360,84 @@ def test_two_process_cnn_train(tmp_path):
         losses.append(line.split("=", 1)[1])
     # the replicated computation must be identical on both processes
     assert losses[0] == losses[1], losses
+
+
+_PIPELINE_WORKER = r"""
+import sys
+import numpy as np
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+from tpumcia.parallel.distributed import init_distributed
+
+assert init_distributed(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+)
+
+from tpumcia.config import HeadConfig, MeshConfig, PipelineConfig, SplitConfig
+from tpumcia.io.synthetic import synthetic_multichannel
+from tpumcia.pipeline.run import run_pipeline
+
+# identical dataset on every process; B=24 divides the 4-device data axis
+images, labels, _ = synthetic_multichannel(4, hw=16, seed=2)
+cfg = PipelineConfig(
+    mesh=MeshConfig(data=-1, model=1),
+    head=HeadConfig(kind="logistic", num_steps=50),
+    split=SplitConfig(test_size=0.25, seed=0, stratify=False),
+    fast_path="never",
+)
+res = run_pipeline(images, labels, config=cfg)
+top_idx = int(res.channel_result.ranking[0])
+top = f"Ch{top_idx + 1}"
+print(f"PIPE{pid}_RESULT=acc:{res.test_accuracy:.6f},top:{top}")
+assert top_idx == 0, (top_idx, res.channel_result.summary())
+print(f"PIPE{pid}_OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_run_pipeline(tmp_path):
+    """The PUBLIC pipeline entry point runs SPMD across process boundaries:
+    run_pipeline with a cross-process mesh config extracts features over
+    both processes' devices (host inputs placed over the global mesh,
+    finalize allgathers the sharded stats), fits the head, and runs the
+    sharded sweeps — identical results on every process, signal channel
+    first."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TPUMCIA_REEXECED"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    script = tmp_path / "pipeline_worker.py"
+    script.write_text(_PIPELINE_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=repo,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    results = []
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"PIPE{pid}_OK" in out, out
+        line = [l for l in out.splitlines() if f"PIPE{pid}_RESULT=" in l][0]
+        results.append(line.split("=", 1)[1])
+    assert results[0] == results[1], results

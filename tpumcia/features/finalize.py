@@ -218,7 +218,7 @@ def finalize_features(
     if backend == "host":
         stats = _pack_for_transfer(stats)
         stats = SuffStats(
-            *(None if s is None else np.asarray(s) for s in stats)
+            *(None if s is None else _fetch_stat(s) for s in stats)
         )
         xp, dtype = np, np.float64
         return _finalize(stats, xp, dtype, include_intensity, include_glcm)
@@ -231,6 +231,17 @@ def finalize_features(
     if backend == "device":
         return _finalize_device_jit(stats, include_intensity, include_glcm)
     raise ValueError(f"unknown backend {backend!r}")
+
+
+def _fetch_stat(s):
+    """Device->host fetch that also handles cross-process (multi-host)
+    global arrays: a non-fully-addressable stat is allgathered to every
+    process first (np.asarray alone would raise)."""
+    if isinstance(s, jax.Array) and not s.is_fully_addressable:
+        from jax.experimental.multihost_utils import process_allgather
+
+        return np.asarray(process_allgather(s, tiled=True))
+    return np.asarray(s)
 
 
 def _finalize(stats, xp, dtype, include_intensity, include_glcm):

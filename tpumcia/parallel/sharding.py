@@ -44,6 +44,36 @@ def _lut_for_mesh(levels: int, mesh: Mesh):
     return jax.device_put(rescale_lut(levels), NamedSharding(mesh, P()))
 
 
+def _prep_pad_host(images, mask, n_data: int):
+    """Numpy twin of ``_prep_inputs`` + ``_pad_to_multiple`` for the
+    multi-process host-input path: (B, H, W, C) -> padded (B', C, H, W)
+    int32 images (+ float32 weights), all on host so the caller can place
+    them over a cross-process mesh."""
+    images = np.asarray(images)
+    if images.ndim != 4:
+        raise ValueError(
+            f"expected (B, H, W, C) images, got shape {images.shape}"
+        )
+    img = np.transpose(images, (0, 3, 1, 2)).astype(np.int32)
+    w = None
+    if mask is not None:
+        m = np.asarray(mask)
+        if m.ndim == 3:
+            m = m[..., None]
+        w = (np.transpose(m, (0, 3, 1, 2)) > 0).astype(np.float32)
+    orig_b = img.shape[0]
+    pad = (-orig_b) % n_data
+    if pad:
+        img = np.concatenate(
+            [img, np.zeros((pad,) + img.shape[1:], img.dtype)]
+        )
+        if w is not None:
+            w = np.concatenate(
+                [w, np.zeros((pad,) + w.shape[1:], w.dtype)]
+            )
+    return img, w, orig_b
+
+
 def _pad_to_multiple(arr, m: int):
     b = arr.shape[0]
     pad = (-b) % m
@@ -145,16 +175,34 @@ def sufficient_stats_sharded(
     on_tpu = mesh.devices.flatten()[0].platform == "tpu"
     pallas = use_pallas == "always" or (use_pallas == "auto" and on_tpu)
     has_mask = mask is not None
-
-    if has_mask:
-        img, w = _prep_inputs(images, mask)
-    else:
-        img = jnp.transpose(jnp.asarray(images), (0, 3, 1, 2)).astype(jnp.int32)
-        w = None
     n_data = mesh.shape["data"]
-    img, orig_b = _pad_to_multiple(img, n_data)
-    if has_mask:
-        w, _ = _pad_to_multiple(w, n_data)
+
+    if jax.process_count() > 1 and not (
+        isinstance(images, jax.Array) and not images.is_fully_addressable
+    ):
+        # multi-process with identical-per-process HOST input (an
+        # already-global array takes the normal path below): prep + pad in
+        # numpy and place the batch over the cross-process data axis —
+        # eager jnp ops would commit it to one local device, which the
+        # cross-process jit rejects
+        img, w, orig_b = _prep_pad_host(images, mask, n_data)
+        from jax.sharding import NamedSharding
+
+        row = NamedSharding(mesh, P("data"))
+        img = jax.device_put(img, row)
+        if has_mask:
+            w = jax.device_put(w, row)
+    else:
+        if has_mask:
+            img, w = _prep_inputs(images, mask)
+        else:
+            img = jnp.transpose(
+                jnp.asarray(images), (0, 3, 1, 2)
+            ).astype(jnp.int32)
+            w = None
+        img, orig_b = _pad_to_multiple(img, n_data)
+        if has_mask:
+            w, _ = _pad_to_multiple(w, n_data)
     lut = _lut_for_mesh(levels, mesh)
 
     args = (img, w, lut) if has_mask else (img, lut)
@@ -230,16 +278,34 @@ def sufficient_stats_sharded_multi(
     on_tpu = mesh.devices.flatten()[0].platform == "tpu"
     pallas = use_pallas == "always" or (use_pallas == "auto" and on_tpu)
     has_mask = mask is not None
-
-    if has_mask:
-        img, w = _prep_inputs(images, mask)
-    else:
-        img = jnp.transpose(jnp.asarray(images), (0, 3, 1, 2)).astype(jnp.int32)
-        w = None
     n_data = mesh.shape["data"]
-    img, orig_b = _pad_to_multiple(img, n_data)
-    if has_mask:
-        w, _ = _pad_to_multiple(w, n_data)
+
+    if jax.process_count() > 1 and not (
+        isinstance(images, jax.Array) and not images.is_fully_addressable
+    ):
+        # multi-process with identical-per-process HOST input (an
+        # already-global array takes the normal path below): prep + pad in
+        # numpy and place the batch over the cross-process data axis —
+        # eager jnp ops would commit it to one local device, which the
+        # cross-process jit rejects
+        img, w, orig_b = _prep_pad_host(images, mask, n_data)
+        from jax.sharding import NamedSharding
+
+        row = NamedSharding(mesh, P("data"))
+        img = jax.device_put(img, row)
+        if has_mask:
+            w = jax.device_put(w, row)
+    else:
+        if has_mask:
+            img, w = _prep_inputs(images, mask)
+        else:
+            img = jnp.transpose(
+                jnp.asarray(images), (0, 3, 1, 2)
+            ).astype(jnp.int32)
+            w = None
+        img, orig_b = _pad_to_multiple(img, n_data)
+        if has_mask:
+            w, _ = _pad_to_multiple(w, n_data)
     lut = _lut_for_mesh(levels, mesh)
 
     args = (img, w, lut) if has_mask else (img, lut)
