@@ -1,12 +1,18 @@
 # Common targets (see CLAUDE.md for environment notes)
 .PHONY: test test-fast test-tpu bench examples native clean
 
+# CPU suite env, set up-front: the parent pytest never imports the remote
+# TPU backend, so the suite survives tunnel outages (the conftest re-exec
+# remains as the fallback for bare `pytest` invocations)
+CPU_TEST_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 TPUMCIA_REEXECED=1
+
 test:
-	python -m pytest tests/ -q
+	$(CPU_TEST_ENV) python -m pytest tests/ -q
 
 # quick feedback loop: skips the compile/train-heavy tests (marked `slow`)
 test-fast:
-	python -m pytest tests/ -q -m "not slow"
+	$(CPU_TEST_ENV) python -m pytest tests/ -q -m "not slow"
 
 test-tpu:
 	TPUMCIA_TEST_BACKEND=native python -m pytest tests/ -m tpu -q

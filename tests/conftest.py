@@ -28,6 +28,12 @@ def _needs_cpu_reexec() -> bool:
         return False
     if os.environ.get("TPUMCIA_REEXECED") == "1":
         return False
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):
+        # the axon sitecustomize will register the remote TPU backend:
+        # decide from the env alone — probing jax here would INITIALIZE
+        # that backend, which hangs/fails whenever the tunnel is down,
+        # killing the CPU suite for no reason
+        return True
     import jax
 
     return jax.default_backend() != "cpu" or len(jax.devices()) < 8

@@ -217,6 +217,49 @@ sharded = permutation_importance_sharded(
 )
 np.testing.assert_allclose(sharded.importances, single.importances, atol=1e-6)
 print(f"SWEEP{pid}_OK")
+
+# ---- input-placement matrix: the images and mask are placed over the
+# cross-process mesh INDEPENDENTLY, so any mix of host numpy /
+# locally-committed device array / already-global array must work and
+# agree with the host-input result ----------------------------------------
+mask = (rng.random((B, 16, 16)) > 0.3).astype(np.uint8)
+
+def finalized(stats):
+    g = SuffStats(*(
+        None if s is None else np.asarray(process_allgather(s, tiled=True))
+        for s in stats
+    ))
+    return finalize_features(g, backend="host").values
+
+base = finalized(sufficient_stats_sharded(full, mask, mesh=mesh))
+mixed = finalized(sufficient_stats_sharded(X, mask, mesh=mesh))
+np.testing.assert_array_equal(base, mixed)  # global images + host mask
+
+local_dev = jax.device_put(full, jax.local_devices()[0])
+from_dev = finalized(sufficient_stats_sharded(local_dev, mask, mesh=mesh))
+np.testing.assert_array_equal(base, from_dev)  # committed local device array
+print(f"PLACEMENT{pid}_OK")
+
+# finalize_features on the still-global (non-addressable) stats directly:
+# the one-dispatch replication path inside the host backend
+direct = finalize_features(
+    sufficient_stats_sharded(full, mask, mesh=mesh), backend="host"
+).values
+np.testing.assert_array_equal(base, direct)
+
+# precision='device' over the cross-process mesh: values stay sharded on
+# device; to_numpy() must replicate-and-fetch, not raise
+from tpumcia.config import FeatureConfig
+from tpumcia.features.extract import extract_features
+
+fm_dev = extract_features(
+    full, config=FeatureConfig(precision="device"), mesh=mesh
+)
+fm_host = extract_features(full, config=FeatureConfig(precision="device"))
+np.testing.assert_allclose(
+    fm_dev.to_numpy(), fm_host.to_numpy(), rtol=1e-5, atol=1e-5
+)
+print(f"DEVICEPREC{pid}_OK")
 """
 
 
@@ -261,6 +304,8 @@ def test_two_process_feature_extraction(tmp_path):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"EXTRACT{pid}_OK" in out, out
         assert f"SWEEP{pid}_OK" in out, out
+        assert f"PLACEMENT{pid}_OK" in out, out
+        assert f"DEVICEPREC{pid}_OK" in out, out
 
 
 _CNN_WORKER = r"""

@@ -111,6 +111,19 @@ def test_masked_features(rng):
         ), names[i]
 
 
+def test_shared_mask_broadcasts_across_channels(rng):
+    """A (B, H, W) mask is shared across channels: identical to repeating
+    it per channel (the documented contract — a regression guard for the
+    broadcast `_prep_inputs` promises)."""
+    img = (rng.random((2, 16, 16, 3)) * 256).astype(np.uint8)
+    shared = rng.random((2, 16, 16)) > 0.3
+    per_ch = np.repeat(shared[..., None], 3, axis=-1)
+
+    fm_shared = extract_features(img, mask=shared, config=XLA_CFG)
+    fm_per_ch = extract_features(img, mask=per_ch, config=XLA_CFG)
+    np.testing.assert_array_equal(fm_shared.values, fm_per_ch.values)
+
+
 def test_empty_mask_flagged():
     img = np.full((1, 8, 8, 1), 50, dtype=np.uint8)
     mask = np.zeros((1, 8, 8, 1), dtype=bool)

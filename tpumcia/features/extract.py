@@ -66,20 +66,26 @@ class FeatureMatrix:
     def to_pandas(self):
         import pandas as pd
 
-        return pd.DataFrame(np.asarray(self.values), columns=self.names)
+        return pd.DataFrame(self.to_numpy(), columns=self.names)
 
     def to_numpy(self) -> np.ndarray:
-        return np.asarray(self.values)
+        # fetch_to_host: device-backend values on a cross-process mesh are
+        # replicated before the local fetch (np.asarray alone would raise)
+        from tpumcia.features.finalize import fetch_to_host
+
+        return fetch_to_host(self.values)
 
     def save(self, path) -> None:
         """Persist to .npz (values + names + flags)."""
+        from tpumcia.features.finalize import fetch_to_host
+
         np.savez_compressed(
             path,
-            values=np.asarray(self.values),
+            values=self.to_numpy(),
             names=np.array(self.names),
             num_channels=self.num_channels,
             degenerate=(
-                np.asarray(self.degenerate)
+                fetch_to_host(self.degenerate)
                 if self.degenerate is not None
                 else np.zeros((len(self), self.num_channels), bool)
             ),
@@ -179,11 +185,12 @@ def extract_features(
             backend=backend,
         )
         value_blocks.append(done.values)
-        degenerate = (
-            done.degenerate
-            if degenerate is None
-            else degenerate | np.asarray(done.degenerate)
-        )
+        if degenerate is None:
+            degenerate = done.degenerate
+        else:
+            from tpumcia.features.finalize import fetch_to_host
+
+            degenerate = degenerate | fetch_to_host(done.degenerate)
 
     # backend == "hybrid" already folds in the < 2^16 pixel bound (the
     # hybrid->host demotion above); hybrid_wire_ok carries the structural

@@ -217,8 +217,18 @@ def finalize_features(
     """
     if backend == "host":
         stats = _pack_for_transfer(stats)
+        vals = list(stats)
+        glb = [
+            i for i, s in enumerate(vals)
+            if isinstance(s, jax.Array) and not s.is_fully_addressable
+        ]
+        if glb:
+            # cross-process stats: replicate ALL of them in one dispatch
+            # (per-field allgathers would each pay a full link round trip)
+            for i, g in zip(glb, _replicate_leaves([vals[i] for i in glb])):
+                vals[i] = g
         stats = SuffStats(
-            *(None if s is None else _fetch_stat(s) for s in stats)
+            *(None if s is None else np.asarray(s) for s in vals)
         )
         xp, dtype = np, np.float64
         return _finalize(stats, xp, dtype, include_intensity, include_glcm)
@@ -233,14 +243,30 @@ def finalize_features(
     raise ValueError(f"unknown backend {backend!r}")
 
 
-def _fetch_stat(s):
-    """Device->host fetch that also handles cross-process (multi-host)
-    global arrays: a non-fully-addressable stat is allgathered to every
-    process first (np.asarray alone would raise)."""
-    if isinstance(s, jax.Array) and not s.is_fully_addressable:
+def _replicate_leaves(leaves):
+    """Replicate non-fully-addressable (cross-process) global arrays to
+    every process in ONE jit dispatch; after this ``np.asarray`` is a
+    plain local fetch. Falls back to per-leaf ``process_allgather`` for
+    arrays without a ``NamedSharding`` mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    try:
+        rep = NamedSharding(leaves[0].sharding.mesh, PartitionSpec())
+        out = jax.jit(lambda *xs: xs, out_shardings=rep)(*leaves)
+        return list(out) if isinstance(out, tuple) else [out]
+    except (AttributeError, ValueError, TypeError):
         from jax.experimental.multihost_utils import process_allgather
 
-        return np.asarray(process_allgather(s, tiled=True))
+        return [process_allgather(s, tiled=True) for s in leaves]
+
+
+def fetch_to_host(s):
+    """Device->host fetch that also handles cross-process (multi-host)
+    global arrays: a non-fully-addressable array is replicated to every
+    process first (np.asarray alone would raise). The shared rule for
+    every finalize/extract host conversion."""
+    if isinstance(s, jax.Array) and not s.is_fully_addressable:
+        (s,) = _replicate_leaves([s])
     return np.asarray(s)
 
 

@@ -315,14 +315,12 @@ def _fetch_concurrent(arr, num_chunks: int = 6, min_bytes: int = 1 << 20) -> np.
     well below its aggregate bandwidth (measured ~11 MB/s serial chunked,
     27 MB/s one transfer, 30 MB/s with 6 streams). Splits on the leading
     axis, or the second axis for small-B/large-C extractions."""
-    import jax
-
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        # cross-process (multi-host) global array: allgather to every
-        # process — local chunked slicing/np.asarray would raise
-        from jax.experimental.multihost_utils import process_allgather
+        # cross-process (multi-host) global array: replicate to every
+        # process first — local chunked slicing/np.asarray would raise
+        from tpumcia.features.finalize import fetch_to_host
 
-        return np.asarray(process_allgather(arr, tiled=True))
+        return fetch_to_host(arr)
     if getattr(arr, "nbytes", 0) < min_bytes:
         return np.asarray(arr)
     ex = _fetch_pool()

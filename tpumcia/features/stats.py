@@ -355,6 +355,8 @@ def _prep_inputs(images, mask):
         if mask.ndim == 3:  # (B, H, W) shared across channels
             mask = mask[..., None]
         w = (jnp.transpose(mask, (0, 3, 1, 2)) > 0).astype(jnp.float32)
+        if w.shape[1] != img.shape[1]:  # shared mask -> every channel
+            w = jnp.broadcast_to(w, img.shape)
     return img, w
 
 

@@ -44,33 +44,64 @@ def _lut_for_mesh(levels: int, mesh: Mesh):
     return jax.device_put(rescale_lut(levels), NamedSharding(mesh, P()))
 
 
-def _prep_pad_host(images, mask, n_data: int):
-    """Numpy twin of ``_prep_inputs`` + ``_pad_to_multiple`` for the
-    multi-process host-input path: (B, H, W, C) -> padded (B', C, H, W)
-    int32 images (+ float32 weights), all on host so the caller can place
-    them over a cross-process mesh."""
-    images = np.asarray(images)
-    if images.ndim != 4:
-        raise ValueError(
-            f"expected (B, H, W, C) images, got shape {images.shape}"
+def _place_raw_over_mesh(arr, mesh, n_data: int):
+    """Pad a raw per-object array to the ``data``-axis multiple and make it
+    a global array row-sharded over the (possibly cross-process) mesh.
+    Returns ``(global_padded, orig_b)``. Images and masks are placed
+    independently, so any mix of host / local-device / already-global
+    inputs works. The RAW dtype crosses the link (1 B/px uint8, not the
+    4 B/px int32 the prep produces) and the transpose/cast prep runs
+    afterwards as sharded device ops."""
+    from jax.sharding import NamedSharding
+
+    row = NamedSharding(mesh, P("data"))
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        # already global — just pad (eager concat preserves the sharding)
+        return _pad_to_multiple(arr, n_data)
+    if isinstance(arr, jax.Array):
+        # committed local device array (e.g. device-synthesized channels):
+        # pad on device, then hand each local mesh device its global rows
+        # directly — device_put to a cross-process sharding is rejected
+        # for committed arrays, and a host round trip would drag the bulk
+        # data through the slow link twice
+        arr, orig_b = _pad_to_multiple(arr, n_data)
+        shards = [
+            jax.device_put(arr[idx], d)
+            for d, idx in row.addressable_devices_indices_map(
+                arr.shape
+            ).items()
+        ]
+        return (
+            jax.make_array_from_single_device_arrays(arr.shape, row, shards),
+            orig_b,
         )
-    img = np.transpose(images, (0, 3, 1, 2)).astype(np.int32)
-    w = None
-    if mask is not None:
-        m = np.asarray(mask)
-        if m.ndim == 3:
-            m = m[..., None]
-        w = (np.transpose(m, (0, 3, 1, 2)) > 0).astype(np.float32)
-    orig_b = img.shape[0]
+    a = np.asarray(arr)
+    orig_b = a.shape[0]
     pad = (-orig_b) % n_data
     if pad:
-        img = np.concatenate(
-            [img, np.zeros((pad,) + img.shape[1:], img.dtype)]
+        a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+    return jax.device_put(a, row), orig_b
+
+
+def _place_inputs_over_mesh(images, mask, mesh, n_data: int):
+    """Multi-process twin of ``_prep_inputs`` + ``_pad_to_multiple``:
+    places the raw (B, H, W, C) images (and optional mask) over the
+    cross-process ``data`` axis, then runs the same transpose/cast prep as
+    sharded device ops. -> (img (B', C, H, W) i32, w or None, orig_b)."""
+    raw, orig_b = _place_raw_over_mesh(images, mesh, n_data)
+    if raw.ndim != 4:
+        raise ValueError(
+            f"expected (B, H, W, C) images, got shape {raw.shape}"
         )
-        if w is not None:
-            w = np.concatenate(
-                [w, np.zeros((pad,) + w.shape[1:], w.dtype)]
-            )
+    img = jnp.transpose(raw, (0, 3, 1, 2)).astype(jnp.int32)
+    w = None
+    if mask is not None:
+        m, _ = _place_raw_over_mesh(mask, mesh, n_data)
+        if m.ndim == 3:  # (B, H, W) shared across channels
+            m = m[..., None]
+        w = (jnp.transpose(m, (0, 3, 1, 2)) > 0).astype(jnp.float32)
+        if w.shape[1] != img.shape[1]:  # shared mask -> every channel
+            w = jnp.broadcast_to(w, img.shape)
     return img, w, orig_b
 
 
@@ -177,21 +208,12 @@ def sufficient_stats_sharded(
     has_mask = mask is not None
     n_data = mesh.shape["data"]
 
-    if jax.process_count() > 1 and not (
-        isinstance(images, jax.Array) and not images.is_fully_addressable
-    ):
-        # multi-process with identical-per-process HOST input (an
-        # already-global array takes the normal path below): prep + pad in
-        # numpy and place the batch over the cross-process data axis —
-        # eager jnp ops would commit it to one local device, which the
-        # cross-process jit rejects
-        img, w, orig_b = _prep_pad_host(images, mask, n_data)
-        from jax.sharding import NamedSharding
-
-        row = NamedSharding(mesh, P("data"))
-        img = jax.device_put(img, row)
-        if has_mask:
-            w = jax.device_put(w, row)
+    if jax.process_count() > 1:
+        # cross-process mesh: images/mask placed independently over the
+        # data axis (host, local-device, and already-global inputs all
+        # handled) — eager jnp prep on a host input would commit it to one
+        # local device, which the cross-process jit rejects
+        img, w, orig_b = _place_inputs_over_mesh(images, mask, mesh, n_data)
     else:
         if has_mask:
             img, w = _prep_inputs(images, mask)
@@ -280,21 +302,12 @@ def sufficient_stats_sharded_multi(
     has_mask = mask is not None
     n_data = mesh.shape["data"]
 
-    if jax.process_count() > 1 and not (
-        isinstance(images, jax.Array) and not images.is_fully_addressable
-    ):
-        # multi-process with identical-per-process HOST input (an
-        # already-global array takes the normal path below): prep + pad in
-        # numpy and place the batch over the cross-process data axis —
-        # eager jnp ops would commit it to one local device, which the
-        # cross-process jit rejects
-        img, w, orig_b = _prep_pad_host(images, mask, n_data)
-        from jax.sharding import NamedSharding
-
-        row = NamedSharding(mesh, P("data"))
-        img = jax.device_put(img, row)
-        if has_mask:
-            w = jax.device_put(w, row)
+    if jax.process_count() > 1:
+        # cross-process mesh: images/mask placed independently over the
+        # data axis (host, local-device, and already-global inputs all
+        # handled) — eager jnp prep on a host input would commit it to one
+        # local device, which the cross-process jit rejects
+        img, w, orig_b = _place_inputs_over_mesh(images, mask, mesh, n_data)
     else:
         if has_mask:
             img, w = _prep_inputs(images, mask)

@@ -216,7 +216,13 @@ def run_pipeline(
         )
     timings["features_s"] = time.perf_counter() - t0
 
-    X = np.nan_to_num(np.asarray(fm.values, dtype=np.float32))
+    # fetch_to_host handles cross-process (precision='device' on a
+    # multi-process mesh) feature values that np.asarray cannot
+    from tpumcia.features.finalize import fetch_to_host
+
+    X = np.nan_to_num(
+        np.asarray(fetch_to_host(fm.values), dtype=np.float32)
+    )
     split = train_test_split_indices(
         len(X),
         test_size=cfg.split.test_size,
