@@ -36,6 +36,7 @@ def main() -> None:
 
     from tpumcia.config import (
         HeadConfig,
+        MeshConfig,
         PipelineConfig,
         SplitConfig,
         SynthConfig,
@@ -54,6 +55,10 @@ def main() -> None:
     gray_dev = jax.device_put(gray)
 
     cfg = PipelineConfig(
+        # pin the single-device layout: fast_path='always' is single-device
+        # by design, and the MeshConfig data=-1 default would raise on any
+        # multi-device backend (e.g. the 8-device CPU test env)
+        mesh=MeshConfig(data=1, model=1),
         synth=SynthConfig(noise_channels=2, seed=0),
         head=HeadConfig(kind="logistic", num_steps=300),
         split=SplitConfig(test_size=0.25, seed=0, stratify=True),

@@ -123,6 +123,26 @@ def test_prefetch_loader_order_and_errors():
     assert [len(c) for c in batched_indices(10, 4, drop_remainder=True)] == [4, 4]
 
 
+def test_stream_extract_rejects_float_images(tmp_path):
+    """The streaming WIRE mode must raise the same TypeError as
+    extract_features on float batches — the fused dispatch would otherwise
+    silently astype-truncate [0,1] floats to all-zero levels and persist
+    garbage shards marked 'done'."""
+    from tpumcia.config import FeatureConfig
+
+    images, labels, _ = synthetic_multichannel(4, num_classes=3, seed=2)
+    flo = images.astype(np.float32) / 255.0
+
+    def fetch(idx):
+        return flo[idx], None, labels[idx]
+
+    with pytest.raises(TypeError, match="integer level"):
+        stream_extract(
+            fetch, len(flo), tmp_path / "f", shard_size=6,
+            config=FeatureConfig(),  # hybrid default -> wire mode
+        )
+
+
 def test_stream_extract_resume(tmp_path):
     from tpumcia.config import FeatureConfig
 

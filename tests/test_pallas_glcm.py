@@ -54,6 +54,39 @@ def test_pallas_fast_path_matches_full(small_batch):
     _assert_fast_stats_match(full, fast)
 
 
+def test_levels_gt_256_keep_exact_diff_path(monkeypatch):
+    """extract_features must not select the reduced dstats contract above
+    256 levels: dstats' hi-limb sum(G*(d2>>8)) can exceed 2^24 there
+    ((511^2>>8)*65535 ≈ 6.7e7) and f32 silently rounds it — the exact i32
+    diff-histogram path stays on for levels > 256."""
+    import tpumcia.features.pallas_glcm as pg
+    from tpumcia.config import FeatureConfig, GLCMConfig
+    from tpumcia.features.extract import extract_features
+
+    seen = {}
+
+    class _Stop(Exception):
+        pass
+
+    def capture(images, mask=None, **kw):
+        seen[kw["levels"]] = kw["need_diff_hist"]
+        raise _Stop()
+
+    monkeypatch.setattr(pg, "sufficient_stats_pallas", capture)
+    img = np.zeros((1, 8, 8, 1), np.uint16)
+    for levels in (256, 512):
+        # precision='device' rides run_stats for any levels (the 256-level
+        # hybrid config would take the fused wire branch instead, which is
+        # wire-gated to <= 256 levels by hybrid_wire_ok already)
+        cfg = FeatureConfig(
+            precision="device", use_pallas="always",
+            glcm=GLCMConfig(levels=levels),
+        )
+        with pytest.raises(_Stop):
+            extract_features(img, config=cfg)
+    assert seen == {256: False, 512: True}, seen
+
+
 def test_pallas_fast_path_masked(rng):
     img = (rng.random((2, 32, 32, 2)) * 256).astype(np.uint8)
     mask = rng.random((2, 32, 32, 2)) > 0.3

@@ -144,8 +144,12 @@ def extract_features(
     # hybrid's wire never reads the difference histogram — the v4 kernel
     # derives its reductions from the VMEM G accumulator instead (the
     # 'host'/'device' finalizers also accept dstats, so the fused device
-    # feature path rides the same reduced contract)
-    need_dh = backend == "host"
+    # feature path rides the same reduced contract). dstats' hi-limb
+    # sum(G*(d2>>8)) is only integer-exact in f32 below 2^24, which the
+    # pair-count bound guarantees for levels <= 256 ((255^2>>8)*65535 <
+    # 2^24) but NOT beyond — larger level counts keep the exact i32
+    # diff-histogram path
+    need_dh = backend == "host" or cfg.glcm.levels > 256
 
     def run_stats(offset, with_intensity, with_glcm):
         if mesh is not None:

@@ -850,19 +850,6 @@ def sufficient_stats_pallas_multi(
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("levels", "offset", "interpret", "need_diff")
-)
-def _pallas_stats_jit(img, w, lut, *, levels, offset, interpret=False,
-                      need_diff=True):
-    """Back-compat wrapper taking an explicit (B, C, H, W) weight array (the
-    sharded path passes one); all-ones weights use the maskless kernel."""
-    return _pallas_stats_core(
-        img, w, lut, levels=levels, offset=offset, has_mask=True,
-        interpret=interpret, need_diff=need_diff,
-    )
-
-
 def sufficient_stats_pallas(
     images,
     mask=None,

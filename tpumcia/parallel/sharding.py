@@ -83,6 +83,27 @@ def _place_raw_over_mesh(arr, mesh, n_data: int):
     return jax.device_put(a, row), orig_b
 
 
+def _replicate_over_mesh(arr, mesh):
+    """Replicate a host or locally-committed array over a (possibly
+    cross-process) mesh. Device inputs are copied device-to-device (no
+    host round trip through the slow link); already-global arrays pass
+    through untouched."""
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        return arr
+    if isinstance(arr, jax.Array):
+        shards = [
+            jax.device_put(arr, d)
+            for d in rep.addressable_devices_indices_map(arr.shape)
+        ]
+        return jax.make_array_from_single_device_arrays(
+            arr.shape, rep, shards
+        )
+    return jax.device_put(np.asarray(arr), rep)
+
+
 def _place_inputs_over_mesh(images, mask, mesh, n_data: int):
     """Multi-process twin of ``_prep_inputs`` + ``_pad_to_multiple``:
     places the raw (B, H, W, C) images (and optional mask) over the
@@ -422,7 +443,15 @@ def permutation_importance_sharded(
     y = np.asarray(y)
     cls_to_idx = {c: i for i, c in enumerate(classes)}
     y_idx = jnp.asarray(np.array([cls_to_idx[v] for v in y], np.int32))
-    X = jnp.asarray(X, jnp.float32)
+    # keep a host X on host until the placement decision: an eager jnp cast
+    # here would commit it to one local device, which the multi-process
+    # branch would then have to fetch back and re-upload (three link
+    # crossings of the full matrix)
+    if isinstance(X, jax.Array):
+        if X.dtype != jnp.float32:
+            X = X.astype(jnp.float32)  # on-device cast
+    else:
+        X = np.asarray(X, np.float32)
     F = X.shape[1]
 
     if groups is None:
@@ -440,22 +469,21 @@ def permutation_importance_sharded(
     if jax.process_count() > 1:
         # a cross-process jit rejects inputs committed to one local device:
         # re-place the (identical-on-every-process) sweep inputs over the
-        # mesh — masks/keys data-sharded, X / labels / head replicated.
+        # mesh — masks/keys data-sharded, X / labels / head replicated
+        # (device inputs copied device-to-device, never through the host).
         # Single-process calls skip this entirely (no extra transfers).
         from jax.sharding import NamedSharding
 
-        rep = NamedSharding(mesh, P())
         row = NamedSharding(mesh, P("data"))
         masks_p = jax.device_put(np.asarray(masks_p), row)
         keys = jax.device_put(np.asarray(jax.random.key_data(keys)), row)
         keys = jax.jit(
             jax.random.wrap_key_data, out_shardings=row
         )(keys)
-        if X.is_fully_addressable:  # an already-global X is left in place
-            X = jax.device_put(np.asarray(X, np.float32), rep)
-        y_idx = jax.device_put(np.asarray(y_idx), rep)
+        X = _replicate_over_mesh(X, mesh)
+        y_idx = _replicate_over_mesh(y_idx, mesh)
         apply_fn = jax.tree.map(
-            lambda l: jax.device_put(np.asarray(l), rep), apply_fn
+            lambda l: _replicate_over_mesh(l, mesh), apply_fn
         )
 
     scores = _sharded_sweep_fn(mesh)(masks_p, keys, X, y_idx, apply_fn)[:G]
