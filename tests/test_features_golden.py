@@ -111,6 +111,16 @@ def test_masked_features(rng):
         ), names[i]
 
 
+def test_feature_matrix_to_pandas(rng):
+    """to_pandas mirrors the reference's df_features (ipynb:327-334):
+    named 69-column DataFrame in the notebook's dict-insertion order."""
+    img = (rng.random((3, 16, 16, 3)) * 256).astype(np.uint8)
+    fm = extract_features(img, config=XLA_CFG)
+    df = fm.to_pandas()
+    assert list(df.columns) == fm.names
+    np.testing.assert_array_equal(df.to_numpy(), np.asarray(fm.values))
+
+
 def test_shared_mask_broadcasts_across_channels(rng):
     """A (B, H, W) mask is shared across channels: identical to repeating
     it per channel (the documented contract — a regression guard for the

@@ -37,6 +37,19 @@ def test_minmax_scaler_zero_range():
     np.testing.assert_allclose(out[:, 1], [0.0, 1.0])
 
 
+def test_minmax_scaler_inverse_round_trip(blobs):
+    X, _ = blobs
+    s = MinMaxScaler.fit(X)
+    back = np.asarray(s.inverse_transform(s.transform(X)))
+    np.testing.assert_allclose(back, X, atol=1e-5)
+    # zero-range columns come back at their constant value too
+    Z = np.array([[2.0, 1.0], [2.0, 3.0]], np.float32)
+    sz = MinMaxScaler.fit(Z)
+    np.testing.assert_allclose(
+        np.asarray(sz.inverse_transform(sz.transform(Z))), Z, atol=1e-6
+    )
+
+
 def test_logistic_head_learns(blobs):
     X, y = blobs
     head = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=300))

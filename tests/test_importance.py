@@ -101,6 +101,25 @@ def test_ablation(informative_data):
 
 
 @pytest.mark.slow
+def test_mdi_channel_importance_one_call(rng):
+    """The notebook cells 23+25 convenience wrapper: MDI + per-channel
+    aggregation in one call, signal channel first (ipynb:432-443, 456-462)."""
+    from tpumcia.config import FeatureConfig
+    from tpumcia.features.extract import extract_features
+    from tpumcia.importance.mdi import mdi_channel_importance
+    from tpumcia.io.synthetic import synthetic_multichannel
+
+    images, labels, _ = synthetic_multichannel(20, num_classes=3, seed=3)
+    fm = extract_features(images, config=FeatureConfig(use_pallas="never"))
+    X = np.nan_to_num(np.asarray(fm.values, dtype=np.float32))
+    head = fit_head(X, labels, config=HeadConfig(kind="random_forest", n_estimators=30))
+
+    res = mdi_channel_importance(head, fm, threshold=None)
+    assert res.method == "mdi"
+    assert len(res.total) == fm.num_channels
+    assert int(np.argmax(res.total)) == 0
+
+
 def test_end_to_end_channel_ranking(rng):
     """The reference's headline result: Ch1 (signal) ranked above the noise
     channels by both importance methods (notebook markdown cells 24/27)."""
