@@ -209,6 +209,18 @@ scaler = fit_scaler_sharded(Xf, mesh=mesh)  # host input, identical per process
 np.testing.assert_allclose(np.asarray(scaler.data_min), Xf.min(0), atol=1e-6)
 np.testing.assert_allclose(np.asarray(scaler.data_max), Xf.max(0), atol=1e-6)
 
+# committed LOCAL device input: must redistribute, not crash in the
+# cross-process jit (and match the host-input fit exactly)
+scaler_dev = fit_scaler_sharded(
+    jax.device_put(Xf, jax.local_devices()[0]), mesh=mesh
+)
+np.testing.assert_array_equal(
+    np.asarray(scaler_dev.data_min), np.asarray(scaler.data_min)
+)
+np.testing.assert_array_equal(
+    np.asarray(scaler_dev.data_max), np.asarray(scaler.data_max)
+)
+
 Xs = np.asarray(scaler.transform(Xf))
 head = fit_head(Xs, y, config=HeadConfig(kind="logistic", num_steps=50))
 single = permutation_importance(head, Xs, y, n_repeats=3, seed=42)

@@ -44,6 +44,22 @@ def _lut_for_mesh(levels: int, mesh: Mesh):
     return jax.device_put(rescale_lut(levels), NamedSharding(mesh, P()))
 
 
+def _local_to_global_rows(arr, mesh):
+    """Turn a committed local device array (identical on every process)
+    into a global row-sharded array by handing each local mesh device its
+    global rows directly — ``device_put`` to a cross-process sharding is
+    rejected for committed arrays, and a host round trip would drag the
+    bulk data through the slow link twice."""
+    from jax.sharding import NamedSharding
+
+    row = NamedSharding(mesh, P("data"))
+    shards = [
+        jax.device_put(arr[idx], d)
+        for d, idx in row.addressable_devices_indices_map(arr.shape).items()
+    ]
+    return jax.make_array_from_single_device_arrays(arr.shape, row, shards)
+
+
 def _place_raw_over_mesh(arr, mesh, n_data: int):
     """Pad a raw per-object array to the ``data``-axis multiple and make it
     a global array row-sharded over the (possibly cross-process) mesh.
@@ -60,21 +76,9 @@ def _place_raw_over_mesh(arr, mesh, n_data: int):
         return _pad_to_multiple(arr, n_data)
     if isinstance(arr, jax.Array):
         # committed local device array (e.g. device-synthesized channels):
-        # pad on device, then hand each local mesh device its global rows
-        # directly — device_put to a cross-process sharding is rejected
-        # for committed arrays, and a host round trip would drag the bulk
-        # data through the slow link twice
+        # pad on device, then redistribute device-to-device
         arr, orig_b = _pad_to_multiple(arr, n_data)
-        shards = [
-            jax.device_put(arr[idx], d)
-            for d, idx in row.addressable_devices_indices_map(
-                arr.shape
-            ).items()
-        ]
-        return (
-            jax.make_array_from_single_device_arrays(arr.shape, row, shards),
-            orig_b,
-        )
+        return _local_to_global_rows(arr, mesh), orig_b
     a = np.asarray(arr)
     orig_b = a.shape[0]
     pad = (-orig_b) % n_data
@@ -401,16 +405,28 @@ def fit_scaler_sharded(X, *, mesh: Mesh) -> MinMaxScaler:
     Multi-process meshes: pass either a global data-sharded array (from
     ``parallel.distributed.shard_across_processes``) or a host array that is
     identical on every process (it is then sharded over the mesh here)."""
-    if jax.process_count() > 1 and not isinstance(X, jax.Array):
+    if jax.process_count() > 1:
         from jax.sharding import NamedSharding
 
-        Xh = np.asarray(X, np.float32)
-        pad = (-Xh.shape[0]) % mesh.shape["data"]
-        if pad:  # pad rows must not perturb min/max: replicate row 0
-            Xh = np.concatenate([Xh, np.tile(Xh[:1], (pad, 1))])
-        Xp = jax.device_put(Xh, NamedSharding(mesh, P("data")))
-        lo, hi = _sharded_minmax_fn(mesh)(Xp)
-        return MinMaxScaler.from_stats(lo[0], hi[0])
+        if not isinstance(X, jax.Array):
+            Xh = np.asarray(X, np.float32)
+            pad = (-Xh.shape[0]) % mesh.shape["data"]
+            if pad:  # pad rows must not perturb min/max: replicate row 0
+                Xh = np.concatenate([Xh, np.tile(Xh[:1], (pad, 1))])
+            Xp = jax.device_put(Xh, NamedSharding(mesh, P("data")))
+            lo, hi = _sharded_minmax_fn(mesh)(Xp)
+            return MinMaxScaler.from_stats(lo[0], hi[0])
+        if X.is_fully_addressable:
+            # committed local device array: pad (row-0 replicate) on
+            # device, then redistribute — the cross-process jit below
+            # rejects locally-committed inputs
+            X32 = X.astype(jnp.float32) if X.dtype != jnp.float32 else X
+            Xp, orig = _pad_to_multiple(X32, mesh.shape["data"])
+            if Xp.shape[0] != orig:
+                Xp = Xp.at[orig:].set(Xp[0])
+            lo, hi = _sharded_minmax_fn(mesh)(_local_to_global_rows(Xp, mesh))
+            return MinMaxScaler.from_stats(lo[0], hi[0])
+        # already-global X falls through to the normal path
     X = jnp.asarray(X, jnp.float32)
     n_data = mesh.shape["data"]
     Xp, orig = _pad_to_multiple(X, n_data)
