@@ -144,7 +144,10 @@ def config3_cnn(n=2048, epochs=8):
     x = add_noise_channels(jax.device_put(gray), jax.random.key(0)).astype(
         jnp.float32
     ) / 255.0
-    x_occ = x[:512]
+    # occlusion probe over the full batch: the sweep is ONE dispatch + one
+    # scalar fetch, so a small probe (512 imgs measured 57 ms ≈ one link
+    # round trip) reports link latency, not sweep throughput
+    x_occ = x
 
     cfg = CNNConfig(
         num_classes=6, depth="18", width=32, epochs=epochs, batch_size=256
@@ -154,20 +157,20 @@ def config3_cnn(n=2048, epochs=8):
     warm = fit_cnn(x, labels, config=CNNConfig(
         num_classes=6, depth="18", width=32, epochs=1, batch_size=256
     ))
-    channel_occlusion_importance(warm, x_occ, labels[:512])
+    channel_occlusion_importance(warm, x_occ, labels)
 
     t0 = time.perf_counter()
     head = fit_cnn(x, labels, config=cfg)
     train_s = time.perf_counter() - t0
     acc = head.score(x, labels)
     t0 = time.perf_counter()
-    occ_vals = np.asarray(channel_occlusion_importance(head, x_occ, labels[:512]))
+    occ_vals = np.asarray(channel_occlusion_importance(head, x_occ, labels))
     occ_s = time.perf_counter() - t0
     return {
         "config": 3,
         "name": "cnn_train_plus_occlusion",
         "train_images_per_sec": _rate(n * epochs, train_s),
-        "occlusion_images_per_sec": _rate(512, occ_s),
+        "occlusion_images_per_sec": _rate(len(labels), occ_s),
         "train_accuracy": round(float(acc), 4),
         "signal_channel_first": bool(int(np.argmax(occ_vals)) == 0),
     }

@@ -40,6 +40,8 @@ def _replicate_for(head, *arrays):
         return arrays
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from tpumcia.parallel.sharding import _replicate_over_mesh
+
     rep = NamedSharding(mesh, P())
 
     def put(a):
@@ -50,7 +52,9 @@ def _replicate_for(head, *arrays):
             # data and re-wrap (same stream) as a global op
             data = jax.device_put(np.asarray(jax.random.key_data(a)), rep)
             return jax.random.wrap_key_data(data)
-        return jax.device_put(np.asarray(a), rep)
+        # bulk inputs (image batches) replicate device-to-device — a host
+        # round trip would drag them through the slow link twice
+        return _replicate_over_mesh(a, mesh)
 
     return tuple(put(a) for a in arrays)
 

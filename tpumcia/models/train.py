@@ -91,10 +91,12 @@ class CNNHead:
         if self.mesh is not None and jax.process_count() > 1:
             # params live on a cross-process mesh: a locally-committed x
             # would be rejected by the jit — replicate it over the mesh
-            # (inference inputs are identical on every process)
-            x = jax.device_put(
-                np.asarray(x), NamedSharding(self.mesh, P())
-            )
+            # device-to-device (inference inputs are identical on every
+            # process; a host round trip would drag the batch through the
+            # slow link twice)
+            from tpumcia.parallel.sharding import _replicate_over_mesh
+
+            x = _replicate_over_mesh(x, self.mesh)
         return _apply_logits(self.apply_fn(), x)
 
     def predict_proba(self, images) -> jax.Array:
@@ -243,20 +245,30 @@ def fit_cnn(
         # then propagated by jit; epoch data stays replicated, each gathered
         # batch is constrained onto the data axis.
         if multiproc:
-            # a cross-process jit rejects locally-committed inputs: pull the
-            # (identical per process) locally-initialised state to host and
-            # re-place it over the mesh. fit_cnn's multi-process contract is
-            # the replicated-dataset one: every process passes the SAME full
-            # (images, labels); the per-epoch sampling is seeded so all
-            # processes drive identical global steps, with the batch sharded
-            # over the mesh's data axis (DCN/ICI gradient psum via jit).
+            # a cross-process jit rejects locally-committed inputs:
+            # redistribute the (identical per process) locally-initialised
+            # state over the mesh device-to-device. fit_cnn's multi-process
+            # contract is the replicated-dataset one: every process passes
+            # the SAME full (images, labels); the per-epoch sampling is
+            # seeded so all processes drive identical global steps, with
+            # the batch sharded over the mesh's data axis (DCN/ICI
+            # gradient psum via jit).
+            from tpumcia.parallel.sharding import local_to_global
+
             rep = NamedSharding(mesh, P())
-            params = jax.tree.map(np.asarray, params)
-            opt_state = jax.device_put(
-                jax.tree.map(np.asarray, opt_state), rep
+            opt_state = jax.tree.map(
+                lambda l: local_to_global(jnp.asarray(l), rep), opt_state
             )
-            images_all = jax.device_put(np.asarray(images_all), rep)
-        params = jax.device_put(params, _param_sharding(params, mesh))
+            # bulk data replicates device-to-device — np.asarray would drag
+            # the full image set through the slow link twice
+            images_all = local_to_global(images_all, rep)
+            shardings = _param_sharding(params, mesh)
+            params = jax.tree.map(
+                lambda l, s: local_to_global(jnp.asarray(l), s),
+                params, shardings,
+            )
+        else:
+            params = jax.device_put(params, _param_sharding(params, mesh))
 
     # The epoch order is padded with wrap-around samples to a multiple of
     # batch_size so every sample trains each epoch at one compiled shape —
@@ -267,7 +279,9 @@ def fit_cnn(
     rng_np = np.random.default_rng(cfg.seed)
     y_all = jax.nn.one_hot(jnp.asarray(y_idx), cfg.num_classes)
     if multiproc:
-        y_all = jax.device_put(np.asarray(y_all), NamedSharding(mesh, P()))
+        from tpumcia.parallel.sharding import local_to_global
+
+        y_all = local_to_global(y_all, NamedSharding(mesh, P()))
     history = []
     # When nothing needs the loss mid-training, defer every loss fetch to the
     # end: a blocking float() per epoch is a full device-link round trip

@@ -44,20 +44,27 @@ def _lut_for_mesh(levels: int, mesh: Mesh):
     return jax.device_put(rescale_lut(levels), NamedSharding(mesh, P()))
 
 
-def _local_to_global_rows(arr, mesh):
+def local_to_global(arr, sharding):
     """Turn a committed local device array (identical on every process)
-    into a global row-sharded array by handing each local mesh device its
-    global rows directly — ``device_put`` to a cross-process sharding is
-    rejected for committed arrays, and a host round trip would drag the
-    bulk data through the slow link twice."""
-    from jax.sharding import NamedSharding
-
-    row = NamedSharding(mesh, P("data"))
+    into a global array with the given (cross-process) sharding by handing
+    each local device its shard directly — ``device_put`` to a
+    cross-process sharding is rejected for committed arrays, and a host
+    round trip would drag the bulk data through the slow link twice."""
     shards = [
         jax.device_put(arr[idx], d)
-        for d, idx in row.addressable_devices_indices_map(arr.shape).items()
+        for d, idx in sharding.addressable_devices_indices_map(
+            arr.shape
+        ).items()
     ]
-    return jax.make_array_from_single_device_arrays(arr.shape, row, shards)
+    return jax.make_array_from_single_device_arrays(
+        arr.shape, sharding, shards
+    )
+
+
+def _local_to_global_rows(arr, mesh):
+    from jax.sharding import NamedSharding
+
+    return local_to_global(arr, NamedSharding(mesh, P("data")))
 
 
 def _place_raw_over_mesh(arr, mesh, n_data: int):
@@ -98,13 +105,7 @@ def _replicate_over_mesh(arr, mesh):
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
         return arr
     if isinstance(arr, jax.Array):
-        shards = [
-            jax.device_put(arr, d)
-            for d in rep.addressable_devices_indices_map(arr.shape)
-        ]
-        return jax.make_array_from_single_device_arrays(
-            arr.shape, rep, shards
-        )
+        return local_to_global(arr, rep)
     return jax.device_put(np.asarray(arr), rep)
 
 
