@@ -114,6 +114,7 @@ def test_masked_features(rng):
 def test_feature_matrix_to_pandas(rng):
     """to_pandas mirrors the reference's df_features (ipynb:327-334):
     named 69-column DataFrame in the notebook's dict-insertion order."""
+    pytest.importorskip("pandas")  # optional dep (lazy import in to_pandas)
     img = (rng.random((3, 16, 16, 3)) * 256).astype(np.uint8)
     fm = extract_features(img, config=XLA_CFG)
     df = fm.to_pandas()

@@ -100,7 +100,6 @@ def test_ablation(informative_data):
     assert np.all(np.abs(drops[1:]) < 0.08)
 
 
-@pytest.mark.slow
 def test_mdi_channel_importance_one_call(rng):
     """The notebook cells 23+25 convenience wrapper: MDI + per-channel
     aggregation in one call, signal channel first (ipynb:432-443, 456-462)."""
@@ -120,6 +119,7 @@ def test_mdi_channel_importance_one_call(rng):
     assert int(np.argmax(res.total)) == 0
 
 
+@pytest.mark.slow
 def test_end_to_end_channel_ranking(rng):
     """The reference's headline result: Ch1 (signal) ranked above the noise
     channels by both importance methods (notebook markdown cells 24/27)."""

@@ -253,18 +253,18 @@ def fit_cnn(
             # seeded so all processes drive identical global steps, with
             # the batch sharded over the mesh's data axis (DCN/ICI
             # gradient psum via jit).
-            from tpumcia.parallel.sharding import local_to_global
+            from tpumcia.parallel.sharding import place_global
 
             rep = NamedSharding(mesh, P())
             opt_state = jax.tree.map(
-                lambda l: local_to_global(jnp.asarray(l), rep), opt_state
+                lambda l: place_global(jnp.asarray(l), rep), opt_state
             )
             # bulk data replicates device-to-device — np.asarray would drag
             # the full image set through the slow link twice
-            images_all = local_to_global(images_all, rep)
+            images_all = place_global(images_all, rep)
             shardings = _param_sharding(params, mesh)
             params = jax.tree.map(
-                lambda l, s: local_to_global(jnp.asarray(l), s),
+                lambda l, s: place_global(jnp.asarray(l), s),
                 params, shardings,
             )
         else:
@@ -279,9 +279,9 @@ def fit_cnn(
     rng_np = np.random.default_rng(cfg.seed)
     y_all = jax.nn.one_hot(jnp.asarray(y_idx), cfg.num_classes)
     if multiproc:
-        from tpumcia.parallel.sharding import local_to_global
+        from tpumcia.parallel.sharding import place_global
 
-        y_all = local_to_global(y_all, NamedSharding(mesh, P()))
+        y_all = place_global(y_all, NamedSharding(mesh, P()))
     history = []
     # When nothing needs the loss mid-training, defer every loss fetch to the
     # end: a blocking float() per epoch is a full device-link round trip

@@ -94,19 +94,22 @@ def _place_raw_over_mesh(arr, mesh, n_data: int):
     return jax.device_put(a, row), orig_b
 
 
-def _replicate_over_mesh(arr, mesh):
-    """Replicate a host or locally-committed array over a (possibly
-    cross-process) mesh. Device inputs are copied device-to-device (no
-    host round trip through the slow link); already-global arrays pass
-    through untouched."""
-    from jax.sharding import NamedSharding
-
-    rep = NamedSharding(mesh, P())
+def place_global(arr, sharding):
+    """Host / committed-local / already-global input -> a global array with
+    ``sharding``. Device inputs are copied device-to-device (no host round
+    trip through the slow link); already-global arrays pass through
+    untouched (the consuming jit reshards if needed)."""
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
         return arr
     if isinstance(arr, jax.Array):
-        return local_to_global(arr, rep)
-    return jax.device_put(np.asarray(arr), rep)
+        return local_to_global(arr, sharding)
+    return jax.device_put(np.asarray(arr), sharding)
+
+
+def _replicate_over_mesh(arr, mesh):
+    from jax.sharding import NamedSharding
+
+    return place_global(arr, NamedSharding(mesh, P()))
 
 
 def _place_inputs_over_mesh(images, mask, mesh, n_data: int):
@@ -406,35 +409,25 @@ def fit_scaler_sharded(X, *, mesh: Mesh) -> MinMaxScaler:
     Multi-process meshes: pass either a global data-sharded array (from
     ``parallel.distributed.shard_across_processes``) or a host array that is
     identical on every process (it is then sharded over the mesh here)."""
-    if jax.process_count() > 1:
+    n_data = mesh.shape["data"]
+    multi = jax.process_count() > 1
+    if multi and not isinstance(X, jax.Array):
         from jax.sharding import NamedSharding
 
-        if not isinstance(X, jax.Array):
-            Xh = np.asarray(X, np.float32)
-            pad = (-Xh.shape[0]) % mesh.shape["data"]
-            if pad:  # pad rows must not perturb min/max: replicate row 0
-                Xh = np.concatenate([Xh, np.tile(Xh[:1], (pad, 1))])
-            Xp = jax.device_put(Xh, NamedSharding(mesh, P("data")))
-            lo, hi = _sharded_minmax_fn(mesh)(Xp)
-            return MinMaxScaler.from_stats(lo[0], hi[0])
-        if X.is_fully_addressable:
-            # committed local device array: pad (row-0 replicate) on
-            # device, then redistribute — the cross-process jit below
-            # rejects locally-committed inputs
-            X32 = X.astype(jnp.float32) if X.dtype != jnp.float32 else X
-            Xp, orig = _pad_to_multiple(X32, mesh.shape["data"])
-            if Xp.shape[0] != orig:
-                Xp = Xp.at[orig:].set(Xp[0])
-            lo, hi = _sharded_minmax_fn(mesh)(_local_to_global_rows(Xp, mesh))
-            return MinMaxScaler.from_stats(lo[0], hi[0])
-        # already-global X falls through to the normal path
-    X = jnp.asarray(X, jnp.float32)
-    n_data = mesh.shape["data"]
-    Xp, orig = _pad_to_multiple(X, n_data)
-    # pad rows must not perturb min/max: replicate row 0
-    if Xp.shape[0] != orig:
-        Xp = Xp.at[orig:].set(Xp[0])
-
+        Xh = np.asarray(X, np.float32)
+        pad = (-Xh.shape[0]) % n_data
+        if pad:  # pad rows must not perturb min/max: replicate row 0
+            Xh = np.concatenate([Xh, np.tile(Xh[:1], (pad, 1))])
+        Xp = jax.device_put(Xh, NamedSharding(mesh, P("data")))
+    else:
+        Xp, orig = _pad_to_multiple(jnp.asarray(X, jnp.float32), n_data)
+        # pad rows must not perturb min/max: replicate row 0
+        if Xp.shape[0] != orig:
+            Xp = Xp.at[orig:].set(Xp[0])
+        if multi and Xp.is_fully_addressable:
+            # the cross-process jit rejects locally-committed inputs:
+            # redistribute device-to-device (already-global X passes as-is)
+            Xp = _local_to_global_rows(Xp, mesh)
     lo, hi = _sharded_minmax_fn(mesh)(Xp)
     return MinMaxScaler.from_stats(lo[0], hi[0])
 
