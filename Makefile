@@ -14,7 +14,9 @@ test:
 test-fast:
 	$(CPU_TEST_ENV) python -m pytest tests/ -q -m "not slow"
 
+# waits a tunnel outage out (bounded, 20 min) before touching the backend
 test-tpu:
+	python -m tpumcia.utils.outage --max-wait 1200
 	TPUMCIA_TEST_BACKEND=native python -m pytest tests/ -m tpu -q
 
 bench:

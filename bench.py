@@ -6,10 +6,17 @@ classifier head, and permutation channel importance — the notebook does this
 at 53.46 images/s on one CPU core (ipynb:353).
 
 The timed section is ONE public-API call: ``run_pipeline`` on its fused fast
-path (device-synthesized noise channels, per-batch Pallas v4 extraction with
-the device-resident f32 feature block, one-dispatch logistic fit + both
+path (device-synthesized noise channels, per-batch Pallas extraction with the
+device-resident f32 feature block, one-dispatch logistic fit + both
 permutation sweeps enqueued before the concurrent wire fetches). There is no
 bench-private pipeline — what this prints is what a library user gets.
+
+Outage handling: the TPU tunnel drops for multi-minute stretches (CLAUDE.md).
+The parent process never imports jax; it probes backend availability in a
+subprocess with a bounded retry loop, runs the measurement in a CHILD process,
+and restarts the child if the tunnel dies mid-run — so the driver's capture
+gets rc=0 + a parsed JSON line as long as the tunnel recovers within the
+budget (default 40 min, env TPUMCIA_BENCH_MAX_WAIT).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
@@ -18,15 +25,41 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 BASELINE_IMAGES_PER_SEC = 53.46  # ipynb:353, single CPU core
-N_IMAGES = 12_000
-BATCH = 2_048
+N_IMAGES = int(os.environ.get("TPUMCIA_BENCH_N_IMAGES", 12_000))
+BATCH = int(os.environ.get("TPUMCIA_BENCH_BATCH", 2_048))
+REPS = int(os.environ.get("TPUMCIA_BENCH_REPS", 8))
 
 
-def main() -> None:
+def _probe_link(dev_array, n_bytes: int = 1 << 20) -> dict:
+    """One ~1 MB D2H timing captured just before the timed reps.
+
+    Stamps the tunnel's condition into the recorded line so run-to-run
+    throughput differences are attributable to link load at a glance
+    (round-3 lesson: a config regressed in the record purely from link
+    conditions, and nothing in the JSON could show it).
+    """
+    import numpy as np
+
+    flat = dev_array.reshape(-1)[: n_bytes // flat_itemsize(dev_array)]
+    np.asarray(flat)  # warm the path (compile the slice)
+    t0 = time.perf_counter()
+    out = np.asarray(flat)
+    dt = time.perf_counter() - t0
+    mb = out.nbytes / 1e6
+    return {"probe_mb": round(mb, 2), "d2h_mbps": round(mb / max(dt, 1e-9), 1)}
+
+
+def flat_itemsize(a) -> int:
+    return int(a.dtype.itemsize)
+
+
+def child_main() -> None:
+    """The actual measurement; runs in a child so the parent can restart it."""
     from tpumcia.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -49,7 +82,7 @@ def main() -> None:
     # ---- data (host-side synthetic MedNIST stand-in; not timed, mirrors the
     # reference's already-on-disk PNGs). H2D staging is untimed too (the
     # reference's disk decode is not comparable either way). ---------------
-    gray, labels, _ = synthetic_mednist(N_IMAGES // 6, num_classes=6, seed=0)
+    gray, labels, _ = synthetic_mednist(max(N_IMAGES // 6, 1), num_classes=6, seed=0)
     gray = gray[:N_IMAGES]
     labels = labels[: len(gray)]
     gray_dev = jax.device_put(gray)
@@ -63,22 +96,26 @@ def main() -> None:
         head=HeadConfig(kind="logistic", num_steps=300),
         split=SplitConfig(test_size=0.25, seed=0, stratify=True),
         fast_path="always",
-        batch_size=BATCH,
+        batch_size=min(BATCH, len(gray)),
     )
 
     # warm-up: compiles every stage at the real shapes (excluded, like the
     # reference's excluded import/startup time)
     run_pipeline(gray_dev, labels, config=cfg)
 
-    # ---- timed public-API pipeline (best of 8: the remote device link adds
-    # several hundred ms of run-to-run jitter — measured spread 227-342 ms
-    # across 16 back-to-back runs — and each run is only ~0.3 s) -----------
-    elapsed = float("inf")
+    link = _probe_link(gray_dev)
+
+    # ---- timed public-API pipeline (best of REPS: the remote device link
+    # adds several hundred ms of run-to-run jitter — measured spread
+    # 227-342 ms across 16 back-to-back runs — and each run is only ~0.3 s)
+    times = []
     result = None
-    for _ in range(8):
+    for _ in range(REPS):
         t0 = time.perf_counter()
         result = run_pipeline(gray_dev, labels, config=cfg)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    elapsed = times[0]
 
     rate = len(gray) / elapsed
     chan_total = result.channel_result.total
@@ -103,6 +140,8 @@ def main() -> None:
                     "backend": backend,
                     "n_images": len(gray),
                     "elapsed_s": round(elapsed, 3),
+                    "rep_spread_s": [round(t, 3) for t in times],
+                    "link": link,
                     "test_accuracy": round(result.test_accuracy, 4),
                     "signal_channel_ranked_first": ok_ranking,
                     # comparison note: the reference's 53.46 img/s includes
@@ -123,5 +162,37 @@ def main() -> None:
     )
 
 
+def main() -> int:
+    """Parent: bounded backend wait + child retry; never imports jax."""
+    from tpumcia.utils.outage import run_with_retry
+
+    max_wait = float(os.environ.get("TPUMCIA_BENCH_MAX_WAIT", 2400))
+    rc, parsed, meta = run_with_retry(
+        [sys.executable, os.path.abspath(__file__), "--child"],
+        max_wait_s=max_wait,
+        child_timeout_s=float(os.environ.get("TPUMCIA_BENCH_CHILD_TIMEOUT", 1500)),
+    )
+    if rc != 0 or parsed is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "feature_extraction_plus_channel_importance_throughput",
+                    "value": None,
+                    "unit": "images/sec",
+                    "vs_baseline": None,
+                    "detail": {"error": "backend unavailable", "outage": meta},
+                }
+            )
+        )
+        return 1
+    detail = parsed.setdefault("detail", {})
+    detail["outage"] = meta
+    print(json.dumps(parsed))
+    return 0
+
+
 if __name__ == "__main__":
+    if "--child" in sys.argv[1:]:
+        child_main()
+        sys.exit(0)
     sys.exit(main())

@@ -147,9 +147,14 @@ def extract_features(
     # feature path rides the same reduced contract). dstats' hi-limb
     # sum(G*(d2>>8)) is only integer-exact in f32 below 2^24, which the
     # pair-count bound guarantees for levels <= 256 ((255^2>>8)*65535 <
-    # 2^24) but NOT beyond — larger level counts keep the exact i32
-    # diff-histogram path
-    need_dh = backend == "host" or cfg.glcm.levels > 256
+    # 2^24) but only when pair count < 2^16 — larger level counts OR
+    # larger images (possible for precision='device', which is not
+    # downgraded above) keep the exact i32 diff-histogram path
+    need_dh = (
+        backend == "host"
+        or cfg.glcm.levels > 256
+        or images.shape[1] * images.shape[2] >= 65536
+    )
 
     def run_stats(offset, with_intensity, with_glcm):
         if mesh is not None:

@@ -27,6 +27,7 @@ Deliberate reference-quirk handling:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import NamedTuple
 
@@ -243,6 +244,15 @@ def finalize_features(
     raise ValueError(f"unknown backend {backend!r}")
 
 
+@functools.lru_cache(maxsize=None)
+def _replicate_jit(sharding):
+    """Stable-identity jitted replicate-identity, cached per sharding: a
+    fresh ``jax.jit`` closure per call would re-trace on every multi-host
+    host-fetch — the per-call-closure cost the dev notes flag as dominant
+    on this throttled host (retrace >> device compute)."""
+    return jax.jit(lambda *xs: xs, out_shardings=sharding)
+
+
 def _replicate_leaves(leaves):
     """Replicate non-fully-addressable (cross-process) global arrays to
     every process in ONE jit dispatch; after this ``np.asarray`` is a
@@ -252,7 +262,7 @@ def _replicate_leaves(leaves):
 
     try:
         rep = NamedSharding(leaves[0].sharding.mesh, PartitionSpec())
-        out = jax.jit(lambda *xs: xs, out_shardings=rep)(*leaves)
+        out = _replicate_jit(rep)(*leaves)
         return list(out) if isinstance(out, tuple) else [out]
     except (AttributeError, ValueError, TypeError):
         from jax.experimental.multihost_utils import process_allgather

@@ -151,9 +151,11 @@ def _occlusion_map_sweep(apply_fn, x, y_idx, positions, fill, *, window):
 def occlusion_map(
     head, images, y, *, window: int = 8, stride: int = 8, fill: float = 0.0
 ) -> np.ndarray:
-    """(B, ceil(H/stride), ceil(W/stride)) map of true-class probability drops
-    when a ``window`` x ``window`` patch (all channels) is filled at each grid
-    position."""
+    """(B, R, C) map of true-class probability drops when a ``window`` x
+    ``window`` patch (all channels) is filled at each grid position, where
+    R = len(range(0, H-window+1, stride)) (min 1) and likewise C over W —
+    windows are kept fully inside the image, so for window > stride the
+    grid is smaller than ceil(H/stride)."""
     x = jnp.asarray(images, jnp.float32)
     y_idx = _labels_to_idx(head.classes, y)
     B, H, W, C = x.shape

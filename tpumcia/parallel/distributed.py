@@ -50,6 +50,11 @@ def init_distributed(
 
     if _INITIALIZED:
         return jax.process_count() > 1
+    # a framework launcher may have initialized jax.distributed before us —
+    # treat that as initialized instead of raising from the double call
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        _INITIALIZED = True
+        return jax.process_count() > 1
 
     coordinator_address = coordinator_address or os.environ.get(
         "TPUMCIA_COORDINATOR"

@@ -280,7 +280,14 @@ def stream_extract(
         if prev is not None:
             finish(prev)
         if num_channels is not None:
-            names = registry.feature_names(num_channels)
+            # mirror extract_features' name construction so shard artifacts
+            # carry identical columns whichever branch produced them
+            names = registry.feature_names(
+                num_channels,
+                include_intensity=cfg.include_intensity,
+                include_glcm=cfg.include_glcm,
+                glcm_pair_labels=cfg.glcm.pair_labels,
+            )
     else:
         for start, stop in pending:
             if first_batch is not None:
