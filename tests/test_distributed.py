@@ -498,3 +498,105 @@ def test_two_process_run_pipeline(tmp_path):
         line = [l for l in out.splitlines() if f"PIPE{pid}_RESULT=" in l][0]
         results.append(line.split("=", 1)[1])
     assert results[0] == results[1], results
+
+
+_STREAM_WORKER = r"""
+import sys
+import numpy as np
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out_dir = sys.argv[3]
+
+from tpumcia.parallel.distributed import init_distributed
+
+assert init_distributed(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid,
+)
+
+import jax
+assert jax.process_count() == 2
+
+from tpumcia.config import FeatureConfig
+from tpumcia.io.synthetic import synthetic_multichannel
+from tpumcia.pipeline.streaming import stream_extract
+
+# both processes can SEE the full dataset, but each must only FETCH its own
+# shard range (the per-process feed: each host decodes/uploads through its
+# own link)
+images, labels, _ = synthetic_multichannel(5, num_classes=3, seed=3)
+fetched = []
+
+def fetch(idx):
+    fetched.extend(int(i) for i in idx)
+    return images[idx], None, labels[idx]
+
+cfg = FeatureConfig(use_pallas="never")
+res = stream_extract(
+    fetch, len(images), out_dir, shard_size=4, config=cfg,
+)
+# 15 images / shard 4 -> shards at 0,4,8,12; round-robin by ordinal
+own = {0: [0, 8], 1: [4, 12]}[pid]
+expect = [i for s in own for i in range(s, min(s + 4, 15))]
+assert sorted(fetched) == expect, (pid, sorted(fetched))
+assert res.shards_computed == 2, res.shards_computed
+assert res.profile["process_count"] == 2
+
+# after the barrier every process assembles the FULL matrix
+from tpumcia.features.extract import extract_features
+direct = extract_features(images, config=cfg)
+assert res.features.shape == direct.shape, res.features.shape
+np.testing.assert_allclose(
+    np.asarray(res.features.values), np.asarray(direct.values),
+    rtol=1e-6, atol=1e-9,
+)
+np.testing.assert_array_equal(res.labels, labels)
+assert res.features.names == direct.names
+print(f"STREAM{pid}_OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_stream_extract(tmp_path):
+    """Per-process-feed multi-host streaming (BASELINE config 5's pod
+    answer): two CPU processes in one jax.distributed runtime split the
+    shard space, each fetches/computes/writes only its own shards through
+    its own feed, and after the completion barrier both assemble the full
+    bit-identical feature matrix from the merged per-process manifests."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["TPUMCIA_REEXECED"] = "1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    out_dir = tmp_path / "stream_out"
+    script = tmp_path / "stream_worker.py"
+    script.write_text(_STREAM_WORKER)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port), str(out_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=repo,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"STREAM{pid}_OK" in out, out
+    # both processes' manifests landed in the shared dir
+    assert (out_dir / "manifest_p0000.json").exists()
+    assert (out_dir / "manifest_p0001.json").exists()

@@ -297,3 +297,61 @@ def test_stream_partial_final_shard_matches_direct(tmp_path):
         rtol=1e-6, atol=1e-9,
     )
     np.testing.assert_array_equal(res.labels, labels)
+
+
+def test_stream_extract_explicit_process_split(tmp_path):
+    """Launcher-managed per-process feed without jax.distributed: two
+    sequential calls with explicit (process_index, process_count) each own
+    a disjoint round-robin half of the shards and fetch ONLY their own
+    index ranges; the merged per-process manifests assemble to the full
+    matrix and a later resume (any process count) recomputes nothing."""
+    from tpumcia.config import FeatureConfig
+    from tpumcia.features.extract import extract_features
+
+    images, labels, _ = synthetic_multichannel(5, num_classes=3, seed=3)
+    # 15 images, shard_size 4 -> shards [0:4][4:8][8:12][12:15]
+    fetched: dict[int, list] = {0: [], 1: []}
+
+    def fetch_for(pid):
+        def fetch(idx):
+            fetched[pid].extend(int(i) for i in idx)
+            return images[idx], None, labels[idx]
+
+        return fetch
+
+    cfg = FeatureConfig(use_pallas="never")
+    out = tmp_path / "split"
+    res0 = stream_extract(
+        fetch_for(0), len(images), out, shard_size=4, config=cfg,
+        process_index=0, process_count=2,
+    )
+    res1 = stream_extract(
+        fetch_for(1), len(images), out, shard_size=4, config=cfg,
+        process_index=1, process_count=2,
+    )
+    assert res0.shards_computed == 2 and res1.shards_computed == 2
+    assert res0.profile["process_count"] == 2
+    # round-robin ownership: p0 owns shards 0,2; p1 owns 1,3
+    assert sorted(fetched[0]) == list(range(0, 4)) + list(range(8, 12))
+    assert sorted(fetched[1]) == list(range(4, 8)) + list(range(12, 15))
+
+    fm, lab = load_feature_shards(out)
+    direct = extract_features(images, config=cfg)
+    assert fm.names == direct.names
+    np.testing.assert_allclose(
+        np.asarray(fm.values), np.asarray(direct.values), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_array_equal(lab, labels)
+    # p1's own assembly (all shards present by then) is already complete
+    np.testing.assert_allclose(
+        np.asarray(res1.features.values), np.asarray(direct.values),
+        rtol=1e-6, atol=1e-9,
+    )
+
+    # resume at a different process count: everything skipped, names intact
+    res_resume = stream_extract(
+        fetch_for(0), len(images), out, shard_size=4, config=cfg,
+        process_index=0, process_count=1,
+    )
+    assert res_resume.shards_computed == 0 and res_resume.shards_skipped == 4
+    assert res_resume.features.names == direct.names

@@ -40,21 +40,47 @@ class StreamResult:
     profile: dict = field(default_factory=dict)
 
 
-def _manifest_path(out_dir: Path) -> Path:
+def _manifest_path(out_dir: Path, process_index: int = 0, process_count: int = 1) -> Path:
+    # multi-process runs write one manifest per process (no cross-process
+    # file races); readers always merge every manifest*.json they find, so
+    # resume works across runs with different process counts
+    if process_count > 1:
+        return out_dir / f"manifest_p{process_index:04d}.json"
     return out_dir / "manifest.json"
 
 
-def _load_manifest(out_dir: Path) -> dict:
-    p = _manifest_path(out_dir)
+def _load_merged_manifest(out_dir: Path) -> dict:
+    """Union of all manifest files in ``out_dir`` (single- and multi-process
+    runs interleave cleanly: shard ids are disjoint by start index)."""
+    merged = {"shards": {}, "version": 1}
+    for p in sorted(out_dir.glob("manifest*.json")):
+        m = json.loads(p.read_text())
+        merged["shards"].update(m.get("shards", {}))
+        tag = m.get("config_tag")
+        if tag is not None:
+            prev = merged.get("config_tag")
+            if prev is not None and prev != tag:
+                raise ValueError(
+                    f"conflicting config_tags in {out_dir}: {prev!r} vs {tag!r}"
+                )
+            merged["config_tag"] = tag
+    return merged
+
+
+def _load_manifest(out_dir: Path, process_index: int = 0, process_count: int = 1) -> dict:
+    p = _manifest_path(out_dir, process_index, process_count)
     if p.exists():
         return json.loads(p.read_text())
     return {"shards": {}, "version": 1}
 
 
-def _save_manifest(out_dir: Path, manifest: dict) -> None:
-    tmp = _manifest_path(out_dir).with_suffix(".tmp")
+def _save_manifest(
+    out_dir: Path, manifest: dict, process_index: int = 0, process_count: int = 1
+) -> None:
+    path = _manifest_path(out_dir, process_index, process_count)
+    tmp = path.with_suffix(".tmp")
     tmp.write_text(json.dumps(manifest, indent=2))
-    os.replace(tmp, _manifest_path(out_dir))  # atomic on POSIX
+    os.replace(tmp, path)  # atomic on POSIX
 
 
 def stream_extract(
@@ -68,6 +94,8 @@ def stream_extract(
     mesh=None,
     prefetch_depth: int = 2,
     stage_on_device: bool = True,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> StreamResult:
     """Extract features over ``n`` objects in resumable shards.
 
@@ -83,29 +111,64 @@ def stream_extract(
     remote-link device: ~12 KB/image) overlaps the previous shard's device
     reduction instead of serialising with it. Ignored when ``mesh`` is set
     (the sharded path places data itself).
+
+    **Multi-host (per-process feed)**: in a ``jax.distributed`` multi-process
+    run (and with no cross-process ``mesh``), the pending shards are split
+    round-robin across processes and each process fetches/decodes/uploads
+    ONLY its own shard range through its own host link — the aggregate-link
+    answer to the measured single-link H2D floor (N hosts x N links; the
+    single-chip pipeline sits ON that floor, BENCHMARKS.md config 5). Each
+    process computes on its own local device(s), writes its own shards +
+    per-process manifest into the shared ``out_dir``, then all processes
+    barrier and every one assembles the full merged matrix.
+    ``process_index``/``process_count`` override the autodetected topology
+    (useful for launcher-managed splits or tests).
     """
     cfg = config or FeatureConfig()
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    manifest = _load_manifest(out_dir)
+    if process_count is None:
+        import jax
+
+        # a cross-process `mesh` means each shard is already computed SPMD
+        # over every process — the per-process feed split only applies to
+        # the mesh-less (per-host local compute) mode
+        process_count = jax.process_count() if mesh is None else 1
+        if process_index is None:
+            process_index = jax.process_index() if mesh is None else 0
+    process_index = process_index or 0
+    if not (0 <= process_index < process_count):
+        raise ValueError(
+            f"process_index {process_index} out of range for "
+            f"process_count {process_count}"
+        )
+    merged = _load_merged_manifest(out_dir)
+    manifest = _load_manifest(out_dir, process_index, process_count)
     tag = config_tag or "default"
-    if manifest.get("config_tag") not in (None, tag):
+    if merged.get("config_tag") not in (None, tag):
         raise ValueError(
             f"manifest at {out_dir} was produced with config_tag="
-            f"{manifest.get('config_tag')!r}, refusing to mix with {tag!r}"
+            f"{merged.get('config_tag')!r}, refusing to mix with {tag!r}"
         )
     manifest["config_tag"] = tag
 
     from tpumcia.utils.logging import MetricsLogger
 
-    log = MetricsLogger(out_dir / "progress.jsonl", echo=False)
-    # resolve pending shards up front so prefetch only decodes what runs
+    log_name = (
+        "progress.jsonl"
+        if process_count == 1
+        else f"progress_p{process_index:04d}.jsonl"
+    )
+    log = MetricsLogger(out_dir / log_name, echo=False)
+    # resolve pending shards up front so prefetch only decodes what runs;
+    # skip decisions use the MERGED manifest view (shards any process — or a
+    # prior run at any process count — completed are not recomputed)
     pending: list[tuple[int, int]] = []
     skipped = 0
     for start in range(0, n, shard_size):
         sid = f"shard_{start:09d}"
         stop = min(start + shard_size, n)
-        entry = manifest["shards"].get(sid)
+        entry = merged["shards"].get(sid)
         if (
             entry
             and entry.get("status") == "done"
@@ -114,6 +177,15 @@ def stream_extract(
             skipped += 1
         else:
             pending.append((start, stop))
+    if process_count > 1:
+        # round-robin ownership keyed on the GLOBAL shard ordinal (not the
+        # pending list, which can differ across processes mid-resume): each
+        # shard is fetched, computed and written by exactly one process
+        pending = [
+            (s, e)
+            for (s, e) in pending
+            if (s // shard_size) % process_count == process_index
+        ]
 
     stage = None
     if stage_on_device and mesh is None:
@@ -182,7 +254,7 @@ def stream_extract(
             "stop": int(stop),
             "file": shard_file.name,
         }
-        _save_manifest(out_dir, manifest)
+        _save_manifest(out_dir, manifest, process_index, process_count)
         computed += 1
         computed_imgs += int(stop - start)
         elapsed_so_far = time.perf_counter() - t0
@@ -280,14 +352,7 @@ def stream_extract(
         if prev is not None:
             finish(prev)
         if num_channels is not None:
-            # mirror extract_features' name construction so shard artifacts
-            # carry identical columns whichever branch produced them
-            names = registry.feature_names(
-                num_channels,
-                include_intensity=cfg.include_intensity,
-                include_glcm=cfg.include_glcm,
-                glcm_pair_labels=cfg.glcm.pair_labels,
-            )
+            names = _config_feature_names(cfg, num_channels)
     else:
         for start, stop in pending:
             if first_batch is not None:
@@ -323,10 +388,37 @@ def stream_extract(
     elapsed = time.perf_counter() - t0
     log.close()
 
+    if process_count > 1:
+        import jax
+
+        if jax.process_count() > 1:
+            # all shards must be on disk before any process assembles
+            from jax.experimental.multihost_utils import sync_global_devices
+
+            sync_global_devices("tpumcia_stream_extract_done")
+        # else: launcher-managed split without jax.distributed — the caller
+        # is responsible for barriering before reading the assembled matrix
+    if names is None:
+        # this process computed no shards (full resume, or another process
+        # owned them all) — rebuild the column names from the config so the
+        # assembled matrix matches what the computing branch would carry
+        nc = num_channels
+        if nc is None:
+            any_entry = next(
+                iter(_load_merged_manifest(out_dir)["shards"].values()), None
+            )
+            if any_entry is not None:
+                with np.load(out_dir / any_entry["file"]) as z:
+                    nc = int(z["degenerate"].shape[1])
+        if nc is not None:
+            names = _config_feature_names(cfg, nc)
     fm, labels = load_feature_shards(out_dir, names=names)
     rate = computed_imgs / elapsed if elapsed > 0 and computed else 0.0
     profile = {k: round(v, 3) for k, v in profile.items()}
     profile["total_s"] = round(elapsed, 3)
+    if process_count > 1:
+        profile["process_index"] = process_index
+        profile["process_count"] = process_count
     return StreamResult(
         features=fm,
         labels=labels,
@@ -335,6 +427,23 @@ def stream_extract(
         images_per_second=rate,
         profile=profile,
     )
+
+
+def _config_feature_names(cfg: FeatureConfig, num_channels: int) -> list[str]:
+    """Mirror ``extract_features``' column-name construction so shard
+    artifacts carry identical columns whichever branch (or process)
+    produced them."""
+    names = registry.feature_names(
+        num_channels,
+        include_intensity=cfg.include_intensity,
+        include_glcm=cfg.include_glcm,
+        glcm_pair_labels=cfg.glcm.pair_labels,
+    )
+    if cfg.include_morphology:
+        from tpumcia.features.morphology import morphology_feature_names
+
+        names = names + morphology_feature_names(num_channels, None)
+    return names
 
 
 def stream_extract_h5(
@@ -349,12 +458,16 @@ def stream_extract_h5(
     target_hw: tuple[int, int] | None = None,
     limit: int | None = None,
     decode_threads: int = 4,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> StreamResult:
     """Resumable streaming extraction straight from a directory of
     per-object h5 files (README contract, README.md:5-14): the h5 adapter
     decodes/packs/quantises shards on a background thread while the device
     reduces the previous shard (``decode_threads`` parallelises the
-    per-object h5 reads inside each shard fetch)."""
+    per-object h5 reads inside each shard fetch). Multi-process runs split
+    the shard ranges per process (see ``stream_extract``): each host opens
+    and decodes only its own objects' h5 files."""
     from tpumcia.io.h5 import h5_stream_source
 
     cfg = config or FeatureConfig()
@@ -374,6 +487,8 @@ def stream_extract_h5(
         config_tag=config_tag,
         mesh=mesh,
         prefetch_depth=prefetch_depth,
+        process_index=process_index,
+        process_count=process_count,
     )
 
 
@@ -381,9 +496,9 @@ def load_feature_shards(
     out_dir: str | Path, *, names: list[str] | None = None
 ) -> tuple[FeatureMatrix, np.ndarray | None]:
     """Reassemble the full feature matrix (ordered by object index) from a
-    shard directory."""
+    shard directory (all processes' manifests merged)."""
     out_dir = Path(out_dir)
-    manifest = _load_manifest(out_dir)
+    manifest = _load_merged_manifest(out_dir)
     entries = sorted(
         (e for e in manifest["shards"].values() if e["status"] == "done"),
         key=lambda e: e["start"],
