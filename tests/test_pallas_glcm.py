@@ -272,3 +272,58 @@ def test_full_pipeline_compiled_on_tpu(small_batch):
         head, fm, y, method="permutation", config=ImportanceConfig(n_repeats=2)
     )
     assert res.num_channels == 3
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "env_key, env_val",
+    [
+        ("TPUMCIA_KERNEL_SHIFT", "roll"),
+        ("TPUMCIA_KERNEL_SCHED", "pipelined"),
+        ("TPUMCIA_KERNEL_SCHED", "phased"),
+    ],
+)
+def test_kernel_variant_knobs_bit_identical(env_key, env_val):
+    """The v6 measurement knobs (in-kernel rolled neighbour stream; the
+    pipelined/phased VPU-MXU schedules) must be BIT-identical to the
+    default kernel — they are performance restructures, not semantic
+    changes. Runs in a subprocess because the knobs are read at import."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TPUMCIA_REEXECED"] = "1"
+    env[env_key] = env_val
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    src = r"""
+import numpy as np
+from tpumcia.features.pallas_glcm import sufficient_stats_pallas
+from tpumcia.features.stats import sufficient_stats
+
+rng = np.random.RandomState(0)
+imgs = rng.randint(0, 256, size=(2, 64, 64, 3)).astype(np.uint8)
+mask = (rng.random((2, 64, 64, 3)) > 0.3).astype(np.uint8)
+for m in (None, mask):
+    for nd in (True, False):
+        got = sufficient_stats_pallas(imgs, m, interpret=True, need_diff_hist=nd)
+        ref = sufficient_stats(imgs, m)
+        for name in ("hist", "marg_l", "marg_r", "glcm_sumsq", "pair_count", "count"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)), err_msg=name
+            )
+        if nd:
+            np.testing.assert_array_equal(
+                np.asarray(got.diff_hist), np.asarray(ref.diff_hist)
+            )
+print("VARIANT_OK")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", src], env=env, capture_output=True, text=True,
+        timeout=600, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "VARIANT_OK" in proc.stdout

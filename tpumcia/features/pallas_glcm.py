@@ -124,6 +124,34 @@ _CHUNK = 4096  # pixels/pairs per chunk (lane-major)
 _USE_INT8 = os.environ.get("TPUMCIA_KERNEL_INT8", "1") == "1"
 _OH_KIND = os.environ.get("TPUMCIA_KERNEL_OH", "int8" if _USE_INT8 else "bf16")
 
+# ---- dev-only measurement knobs (default off; production = all empty) ----
+# TPUMCIA_KERNEL_ABLATE: comma list of kernel pieces to DISABLE so their
+# cost can be bisected on hardware (results are WRONG with any piece off):
+#   g         - skip the G matmul accumulate
+#   onehot    - replace the two (L, CH) one-hot equalities with reused
+#               nibble one-hot slices (keeps shapes, kills the compare cost)
+#   recovery  - skip the 4 value-recovery matmuls (raw levels as values)
+#   hist      - skip the histogram factor matmul
+#   epilogue  - skip the end-of-channel emission (marginals/sumsq/dstats)
+_ABLATE = frozenset(
+    p for p in os.environ.get("TPUMCIA_KERNEL_ABLATE", "").split(",") if p
+)
+# TPUMCIA_KERNEL_SCHED: restructure the (channel, chunk) loop to expose
+# VPU/MXU overlap to the Mosaic scheduler (kernel v6 candidates):
+#   pipelined - one-step software pipeline: step i+1's one-hot construction
+#               (VPU + small matmuls) is emitted BEFORE step i's big MXU
+#               accumulates, so the scheduler has independent work adjacent
+#   phased    - build every (channel, chunk) step's one-hots first, then run
+#               all accumulates (VMEM-heavy; only viable at small C*K)
+_SCHED = os.environ.get("TPUMCIA_KERNEL_SCHED", "")
+# TPUMCIA_KERNEL_SHIFT=roll: derive the co-occurring neighbour stream
+# in-kernel with a lane roll instead of reading a materialised flat-shifted
+# HBM copy (single-chunk images, shift > 0 only: every wrapped lane falls
+# outside the offset-validity window, so the circular wrap is harmless).
+# Halves the kernel's chunk-stream HBM traffic and deletes the XLA
+# pad+copy prologue stage that builds the shifted stream.
+_SHIFT_MODE = os.environ.get("TPUMCIA_KERNEL_SHIFT", "")
+
 
 def _oh_dtypes():
     if _OH_KIND == "int4":
@@ -247,15 +275,26 @@ def _kernel(
     window: tuple[int, int, int, int],
     has_mask: bool,
     need_diff: bool,
+    roll_shift: int = 0,
 ):
     if has_mask:
-        (raw_ref, rsh_ref, wi_ref, wsh_ref, row_ref,
-         hist_ref, count_ref, marg_l_ref, marg_r_ref, dout_ref, sumsq_ref,
-         pairs_ref) = refs
+        if roll_shift:
+            (raw_ref, wi_ref, row_ref,
+             hist_ref, count_ref, marg_l_ref, marg_r_ref, dout_ref,
+             sumsq_ref, pairs_ref) = refs
+        else:
+            (raw_ref, rsh_ref, wi_ref, wsh_ref, row_ref,
+             hist_ref, count_ref, marg_l_ref, marg_r_ref, dout_ref,
+             sumsq_ref, pairs_ref) = refs
     else:
-        (raw_ref, rsh_ref, row_ref,
-         hist_ref, count_ref, marg_l_ref, marg_r_ref, dout_ref, sumsq_ref,
-         pairs_ref) = refs
+        if roll_shift:
+            (raw_ref, row_ref,
+             hist_ref, count_ref, marg_l_ref, marg_r_ref, dout_ref,
+             sumsq_ref, pairs_ref) = refs
+        else:
+            (raw_ref, rsh_ref, row_ref,
+             hist_ref, count_ref, marg_l_ref, marg_r_ref, dout_ref,
+             sumsq_ref, pairs_ref) = refs
     diff_ref = dout_ref if need_diff else None
     dstat_ref = None if need_diff else dout_ref
 
@@ -298,69 +337,103 @@ def _kernel(
             int(np.sum((ri >= r0) & (ri < r1) & (ci >= c0) & (ci < c1)))
         )
 
-    for c in range(num_channels):
+    def channel_ctx(c):
+        """Per-channel stream views + LUT nibbles (cheap; shared by every
+        chunk of the channel)."""
         raw_all = raw_ref[0, c]  # (K, CH) i32
-        rsh_all = rsh_ref[0, c]
+        if roll_shift:
+            # the neighbour stream is the raw stream rolled left by the
+            # flat offset (single-chunk only; wrapped lanes all fall
+            # outside the offset-validity window, see _SHIFT_MODE)
+            rsh_all = pltpu.roll(raw_all, CH - roll_shift, axis=1)
+        else:
+            rsh_all = rsh_ref[0, c]
+        wi_all = wsh_all = None
         if has_mask:
-            wi_all = wi_ref[0, c] > 0
-            wsh_all = wsh_ref[0, c] > 0
-
+            wi_raw = wi_ref[0, c]
+            wi_all = wi_raw > 0
+            if roll_shift:
+                wsh_all = pltpu.roll(wi_raw, CH - roll_shift, axis=1) > 0
+            else:
+                wsh_all = wsh_ref[0, c] > 0
         # LUT row as a (HI, 16) value grid, split into per-cell nibbles so
         # the value-recovery matmuls run on narrow (int8/bf16) operands
-        row16 = row_ref[0, c].astype(i32)  # (HI, 16), row16[h, l] = row[16h+l]
+        row16 = row_ref[0, c].astype(i32)  # row16[h, l] = row[16h+l]
         rowh, rowl = _nibble_rows(row16, oh_t)
+        return raw_all, rsh_all, wi_all, wsh_all, rowh, rowl
 
-        hist16 = jnp.zeros((HI, 16), acc)
-        dh16 = jnp.zeros((DHI, 16), acc)
-        glcm = jnp.zeros((L, L), acc)
+    def build(ctx, k):
+        """Stage A of a (channel, chunk) step: compares, nibble value
+        recovery, one-hot construction — VPU work plus 6 small matmuls.
+        No dependence on any accumulator, so under _SCHED these can overlap
+        the previous step's stage B."""
+        raw_all, rsh_all, wi_all, wsh_all, rowh, rowl = ctx
+        raw = raw_all[k : k + 1, :]  # (1, CH) left pixel = raw pixel
+        rsh = rsh_all[k : k + 1, :]  # co-occurring neighbour
+        if has_mask:
+            wb = wi_all[k : k + 1, :] & inb[k]
+            pwb = wb & wsh_all[k : k + 1, :] & valid[k]
+        else:
+            wb = inb[k]
+            pwb = valid[k]
 
-        # the chunk loop is unrolled in-kernel with write-once outputs
-        # (no revisited blocks, no init/emit predication). Per chunk only
-        # the histogram factor matmul, the nibble value recovery, ONE
-        # (L, CH) equality per stream, and the G matmul run; marginals,
-        # counts, and (on the wire path) the difference-derived reductions
-        # all come out of the accumulators once per channel (kernel v4/v5).
-        for k in range(num_chunks):
-            raw = raw_all[k : k + 1, :]  # (1, CH) left pixel = raw pixel
-            rsh = rsh_all[k : k + 1, :]  # co-occurring neighbour
-            if has_mask:
-                wb = wi_all[k : k + 1, :] & inb[k]
-                pwb = wb & wsh_all[k : k + 1, :] & valid[k]
-            else:
-                wb = inb[k]
-                pwb = valid[k]
+        # --- factorized raw histogram operands: (HI, CH) and (16, CH)
+        oh_hi_b = (raw >> 4) == iota_hi
+        if has_mask or not inb_full[k]:
+            oh_hi_b = oh_hi_b & wb  # pad pixels only exist in the tail
+        oh_lo = ((raw & 15) == iota_16).astype(oh_t)
 
-            # --- factorized raw histogram: (HI, CH) x (16, CH) -> (HI, 16)
-            oh_hi_b = (raw >> 4) == iota_hi
-            if has_mask or not inb_full[k]:
-                oh_hi_b = oh_hi_b & wb  # pad pixels only exist in the tail
-            oh_lo = ((raw & 15) == iota_16).astype(oh_t)
-            hist16 += _lanedot(oh_hi_b.astype(oh_t), oh_lo, acc)
-
-            # --- rescaled values via the nibble LUT grid (v5), then ONE
-            # (L, CH) equality per stream builds the one-hot; pair validity
-            # folds into the left stream as a -1 sentinel. The left side
-            # reuses the histogram's nibble one-hots (masked hi-buckets
-            # zero the value — the sentinel overrides those pixels anyway).
+        # --- rescaled values via the nibble LUT grid (v5), then ONE
+        # (L, CH) equality per stream builds the one-hot; pair validity
+        # folds into the left stream as a -1 sentinel. The left side
+        # reuses the histogram's nibble one-hots (masked hi-buckets
+        # zero the value — the sentinel overrides those pixels anyway).
+        if "recovery" in _ABLATE:
+            resc_l, resc_r = raw, rsh  # WRONG results; cost bisection only
+        else:
             resc_l = _resc_values(oh_hi_b, oh_lo, rowh, rowl, acc)
             rhi_b = (rsh >> 4) == iota_hi
             rlo = ((rsh & 15) == iota_16).astype(oh_t)
             resc_r = _resc_values(rhi_b, rlo, rowh, rowl, acc)
 
+        if "onehot" in _ABLATE:
+            # same shapes/dtypes without the (L, CH) equality compares
+            # (WRONG results; keeps the G matmul fed for cost bisection)
+            oh_l = pltpu.repeat(oh_lo, HI, axis=0)
+            oh_r = pltpu.repeat(oh_lo, HI, axis=0)
+        else:
             rescm = jnp.where(pwb, resc_l, -1)
             oh_l = (rescm == iota_L).astype(oh_t)
             oh_r = (resc_r == iota_L).astype(oh_t)
 
+        art = (oh_hi_b, oh_lo, oh_l, oh_r, None, None)
+        if need_diff:
+            diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
+            oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
+            oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
+            art = art[:4] + (oh_dhi, oh_dlo)
+        return art
+
+    def accum(state, art):
+        """Stage B: the MXU accumulates (hist factor matmul, G matmul,
+        diff-hist matmul)."""
+        hist16, dh16, glcm = state
+        oh_hi_b, oh_lo, oh_l, oh_r, oh_dhi, oh_dlo = art
+        if "hist" not in _ABLATE:
+            hist16 = hist16 + _lanedot(oh_hi_b.astype(oh_t), oh_lo, acc)
+        if "g" not in _ABLATE:
             # G[i, j] += sum_p pw_p * [l_p == i] * [r_p == j] (pair weight
             # already folded into oh_l via the sentinel)
-            glcm += _lanedot(oh_l, oh_r, acc)
+            glcm = glcm + _lanedot(oh_l, oh_r, acc)
+        if need_diff:
+            dh16 = dh16 + _lanedot(oh_dhi, oh_dlo, acc)
+        return hist16, dh16, glcm
 
-            if need_diff:
-                diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
-                oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
-                oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
-                dh16 += _lanedot(oh_dhi, oh_dlo, acc)
-
+    def emit(c, state):
+        """End-of-channel emission (kernel v4/v5): marginals, counts, and
+        (wire path) the difference-derived reductions all come out of the
+        accumulators once per channel."""
+        hist16, dh16, glcm = state
         hist_ref[0, c] = hist16.astype(i32)
         if has_mask:
             # the histogram already carries the mask: count = sum(hist)
@@ -368,13 +441,75 @@ def _kernel(
         else:
             # static window -> counts are compile-time constants
             count_ref[0, c] = jnp.full((1, 1), float(sum(n_inb)), f32)
-        pairs = _emit_glcm_tail(
-            glcm, c, marg_l_ref, marg_r_ref, sumsq_ref, dstat_ref, diff_ref,
-            dh16, ones_L, L,
-        )
+        if "epilogue" in _ABLATE:
+            zrow = ones_L * 0.0
+            marg_l_ref[0, c] = zrow
+            marg_r_ref[0, c] = zrow
+            sumsq_ref[0, c] = jnp.zeros((1, 4), i32)
+            if need_diff:
+                diff_ref[0, c] = dh16.astype(i32)
+            else:
+                dstat_ref[0, c] = jnp.zeros((1, 4), f32)
+            pairs = _total(glcm).astype(f32)
+        else:
+            pairs = _emit_glcm_tail(
+                glcm, c, marg_l_ref, marg_r_ref, sumsq_ref, dstat_ref,
+                diff_ref, dh16, ones_L, L,
+            )
         pairs_ref[0, c] = (
             pairs if has_mask else jnp.full((1, 1), float(sum(n_valid)), f32)
         )
+
+    def fresh_state():
+        return (
+            jnp.zeros((HI, 16), acc),
+            jnp.zeros((DHI, 16), acc),
+            jnp.zeros((L, L), acc),
+        )
+
+    # the (channel, chunk) loop is unrolled in-kernel with write-once
+    # outputs (no revisited blocks, no init/emit predication)
+    steps = [(c, k) for c in range(num_channels) for k in range(num_chunks)]
+    if _SCHED == "pipelined":
+        # one-step software pipeline: emit step i+1's stage A before step
+        # i's stage B so the Mosaic scheduler always has independent VPU
+        # and MXU work adjacent (kernel v6 candidate)
+        states = [fresh_state() for _ in range(num_channels)]
+        ctx_cache: dict[int, tuple] = {}
+        pending = None
+        for c, k in steps:
+            if c not in ctx_cache:
+                ctx_cache[c] = channel_ctx(c)
+            art = build(ctx_cache[c], k)
+            if pending is not None:
+                pc, pk, part = pending
+                states[pc] = accum(states[pc], part)
+                if pk == num_chunks - 1:
+                    emit(pc, states[pc])
+            pending = (c, k, art)
+        pc, pk, part = pending
+        states[pc] = accum(states[pc], part)
+        emit(pc, states[pc])
+    elif _SCHED == "phased":
+        # build EVERY step's one-hots first, then run all accumulates
+        # (VMEM-heavy: all steps' artifacts live at once)
+        states = [fresh_state() for _ in range(num_channels)]
+        arts = []
+        for c, k in steps:
+            ctx = channel_ctx(c)
+            arts.append((c, k, build(ctx, k)))
+        for c, k, art in arts:
+            states[c] = accum(states[c], art)
+            if k == num_chunks - 1:
+                emit(c, states[c])
+    else:
+        # production order: stage A then stage B inline per step
+        for c in range(num_channels):
+            ctx = channel_ctx(c)
+            state = fresh_state()
+            for k in range(num_chunks):
+                state = accum(state, build(ctx, k))
+            emit(c, state)
 
 
 def _flat_chunks(x, total, K, CH):
@@ -429,25 +564,30 @@ def _pallas_stats_core(img, w, lut, *, levels, offset, has_mask, interpret,
     K = -(-HW // CH)
     total = K * CH
 
+    # TPUMCIA_KERNEL_SHIFT=roll: single-chunk images with a positive flat
+    # offset derive the neighbour stream in-kernel (lane roll) — the
+    # materialised flat-shifted HBM copies below are skipped entirely
+    roll_shift = (
+        shift if (_SHIFT_MODE == "roll" and K == 1 and 0 < shift < CH) else 0
+    )
+
     flat = img.reshape(B, C, HW).astype(i32)
-    if shift >= 0:
-        flat_sh = jnp.pad(flat[:, :, shift:], ((0, 0), (0, 0), (0, shift)))
-    else:
-        flat_sh = jnp.pad(flat[:, :, :shift], ((0, 0), (0, 0), (-shift, 0)))
-    inputs = [
-        _flat_chunks(flat, total, K, CH),
-        _flat_chunks(flat_sh, total, K, CH),
-    ]
+    inputs = [_flat_chunks(flat, total, K, CH)]
+    if not roll_shift:
+        if shift >= 0:
+            flat_sh = jnp.pad(flat[:, :, shift:], ((0, 0), (0, 0), (0, shift)))
+        else:
+            flat_sh = jnp.pad(flat[:, :, :shift], ((0, 0), (0, 0), (-shift, 0)))
+        inputs.append(_flat_chunks(flat_sh, total, K, CH))
     if has_mask:
         wi = (w > 0).reshape(B, C, HW).astype(i32)
-        if shift >= 0:
-            wi_sh = jnp.pad(wi[:, :, shift:], ((0, 0), (0, 0), (0, shift)))
-        else:
-            wi_sh = jnp.pad(wi[:, :, :shift], ((0, 0), (0, 0), (-shift, 0)))
-        inputs += [
-            _flat_chunks(wi, total, K, CH),
-            _flat_chunks(wi_sh, total, K, CH),
-        ]
+        inputs.append(_flat_chunks(wi, total, K, CH))
+        if not roll_shift:
+            if shift >= 0:
+                wi_sh = jnp.pad(wi[:, :, shift:], ((0, 0), (0, 0), (0, shift)))
+            else:
+                wi_sh = jnp.pad(wi[:, :, :shift], ((0, 0), (0, 0), (-shift, 0)))
+            inputs.append(_flat_chunks(wi_sh, total, K, CH))
     inputs.append(rows)
 
     grid = (B,)
@@ -457,7 +597,7 @@ def _pallas_stats_core(img, w, lut, *, levels, offset, has_mask, interpret,
     row_spec = pl.BlockSpec(
         (1, C, HI, 16), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    in_specs = [chunk_spec] * (4 if has_mask else 2) + [row_spec]
+    in_specs = [chunk_spec] * (len(inputs) - 1) + [row_spec]
     blk = lambda m, n: pl.BlockSpec(
         (1, C, m, n), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -492,6 +632,7 @@ def _pallas_stats_core(img, w, lut, *, levels, offset, has_mask, interpret,
         window=(r0, r1, c0, c1),
         has_mask=has_mask,
         need_diff=need_diff,
+        roll_shift=roll_shift,
     )
     hist16, count, marg_l, marg_r, dout, sumsq, pairs = pl.pallas_call(
         kernel,
