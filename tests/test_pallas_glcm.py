@@ -319,6 +319,24 @@ for m in (None, mask):
             np.testing.assert_array_equal(
                 np.asarray(got.diff_hist), np.asarray(ref.diff_hist)
             )
+
+# multi-offset: the GLCM contract (hist is only meaningful on offset 0 —
+# intensity rides the first offset, matching the XLA reference)
+from tpumcia.features.pallas_glcm import sufficient_stats_pallas_multi
+from tpumcia.features.stats import sufficient_stats_multi
+
+imgs2 = rng.randint(0, 256, size=(2, 32, 32, 2)).astype(np.uint8)
+OFFS = ((0, 5), (5, 0), (5, 5), (5, -5))
+gots = sufficient_stats_pallas_multi(imgs2, None, offsets=OFFS, interpret=True)
+refs = sufficient_stats_multi(imgs2, None, offsets=OFFS)
+np.testing.assert_array_equal(np.asarray(gots[0].hist), np.asarray(refs[0].hist))
+for o, (g, r) in enumerate(zip(gots, refs)):
+    for name in ("marg_l", "marg_r", "glcm_sumsq", "pair_count"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g, name)), np.asarray(getattr(r, name)),
+            err_msg=f"{o} {name}",
+        )
+    np.testing.assert_array_equal(np.asarray(g.diff_hist), np.asarray(r.diff_hist))
 print("VARIANT_OK")
 """
     proc = subprocess.run(

@@ -676,6 +676,7 @@ def _kernel_multi(
     windows: tuple[tuple[int, int, int, int], ...],
     has_mask: bool,
     need_diff: bool,
+    roll_shifts: tuple[int, ...] = (),
 ):
     """Fused multi-offset variant: the raw stream, histogram, rescale
     boundaries, and LEFT one-hot are built once and shared across offsets;
@@ -684,20 +685,35 @@ def _kernel_multi(
     stream as a -1 sentinel (the left one-hot stays unmasked and shared);
     both marginals come out of the per-offset G accumulator at end of
     channel (row sums = left marginal, column sums = right; kernel v4).
+
+    ``roll_shifts`` (TPUMCIA_KERNEL_SHIFT=roll, single-chunk, all offsets
+    with positive flat shift): every neighbour stream is derived in-kernel
+    from the raw stream by a lane roll — the O materialised shifted copies
+    (and, masked, the O shifted mask copies) never exist in HBM at all.
     """
     O = len(windows)
     if has_mask:
         raw_ref = refs[0]
         wi_ref = refs[1]
-        rsh_refs = refs[2 : 2 + O]
-        wsh_refs = refs[2 + O : 2 + 2 * O]
-        row_ref = refs[2 + 2 * O]
-        outs = refs[3 + 2 * O :]
+        if roll_shifts:
+            rsh_refs = wsh_refs = None
+            row_ref = refs[2]
+            outs = refs[3:]
+        else:
+            rsh_refs = refs[2 : 2 + O]
+            wsh_refs = refs[2 + O : 2 + 2 * O]
+            row_ref = refs[2 + 2 * O]
+            outs = refs[3 + 2 * O :]
     else:
         raw_ref = refs[0]
-        rsh_refs = refs[1 : 1 + O]
-        row_ref = refs[1 + O]
-        outs = refs[2 + O :]
+        if roll_shifts:
+            rsh_refs = None
+            row_ref = refs[1]
+            outs = refs[2:]
+        else:
+            rsh_refs = refs[1 : 1 + O]
+            row_ref = refs[1 + O]
+            outs = refs[2 + O :]
     hist_ref, count_ref = outs[0], outs[1]
     marg_l_refs = outs[2 : 2 + O]
     marg_r_refs = outs[2 + O : 2 + 2 * O]
@@ -744,7 +760,20 @@ def _kernel_multi(
     for c in range(num_channels):
         raw_all = raw_ref[0, c]
         if has_mask:
-            wi_all = wi_ref[0, c] > 0
+            wi_raw = wi_ref[0, c]
+            wi_all = wi_raw > 0
+        if roll_shifts:
+            rsh_alls = [
+                pltpu.roll(raw_all, CH - s, axis=1) for s in roll_shifts
+            ]
+            if has_mask:
+                wsh_alls = [
+                    pltpu.roll(wi_raw, CH - s, axis=1) > 0 for s in roll_shifts
+                ]
+        else:
+            rsh_alls = [rsh_refs[o][0, c] for o in range(O)]
+            if has_mask:
+                wsh_alls = [wsh_refs[o][0, c] > 0 for o in range(O)]
 
         row16 = row_ref[0, c].astype(i32)  # (HI, 16) value grid
         rowh, rowl = _nibble_rows(row16, oh_t)
@@ -773,11 +802,9 @@ def _kernel_multi(
             oh_l = (resc_l == iota_L).astype(oh_t)
 
             for o in range(O):
-                rsh = rsh_refs[o][0, c][k : k + 1, :]
+                rsh = rsh_alls[o][k : k + 1, :]
                 if has_mask:
-                    pwb = (
-                        wb & (wsh_refs[o][0, c][k : k + 1, :] > 0) & valid[o][k]
-                    )
+                    pwb = wb & wsh_alls[o][k : k + 1, :] & valid[o][k]
                 else:
                     pwb = valid[o][k]
                 rhi_b = (rsh >> 4) == iota_hi
@@ -862,16 +889,26 @@ def _pallas_stats_multi_core(img, w, lut, *, levels, offsets, has_mask,
     K = -(-HW // CH)
     total = K * CH
 
+    # all-or-nothing in-kernel rolled neighbour streams (see _SHIFT_MODE):
+    # every offset must have a positive in-range flat shift
+    roll_shifts = (
+        tuple(shifts)
+        if (_SHIFT_MODE == "roll" and K == 1
+            and all(0 < s < CH for s in shifts))
+        else ()
+    )
+
     flat = img.reshape(B, C, HW).astype(i32)
     inputs = [_flat_chunks(flat, total, K, CH)]
     wi = (w > 0).reshape(B, C, HW).astype(i32) if has_mask else None
     if has_mask:
         inputs.append(_flat_chunks(wi, total, K, CH))
-    for s in shifts:
-        inputs.append(_flat_chunks(_shifted(flat, s), total, K, CH))
-    if has_mask:
+    if not roll_shifts:
         for s in shifts:
-            inputs.append(_flat_chunks(_shifted(wi, s), total, K, CH))
+            inputs.append(_flat_chunks(_shifted(flat, s), total, K, CH))
+        if has_mask:
+            for s in shifts:
+                inputs.append(_flat_chunks(_shifted(wi, s), total, K, CH))
     inputs.append(rows)
 
     O = len(offsets)
@@ -882,8 +919,7 @@ def _pallas_stats_multi_core(img, w, lut, *, levels, offsets, has_mask,
     row_spec = pl.BlockSpec(
         (1, C, HI, 16), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    n_chunk_inputs = (2 + 2 * O) if has_mask else (1 + O)
-    in_specs = [chunk_spec] * n_chunk_inputs + [row_spec]
+    in_specs = [chunk_spec] * (len(inputs) - 1) + [row_spec]
     blk = lambda m, n: pl.BlockSpec(
         (1, C, m, n), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
     )
@@ -919,6 +955,7 @@ def _pallas_stats_multi_core(img, w, lut, *, levels, offsets, has_mask,
         windows=tuple(windows),
         has_mask=has_mask,
         need_diff=need_diff,
+        roll_shifts=roll_shifts,
     )
     outs = pl.pallas_call(
         kernel,
