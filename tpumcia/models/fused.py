@@ -20,6 +20,7 @@ Reference mapping: cells 19-20 (split/scale/fit, ipynb:381-417) + cell 28
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -177,6 +178,17 @@ def fit_logistic_with_importance(
         lr=head_cfg.learning_rate,
         l2=head_cfg.l2,
     )
+
+    if defer and os.environ.get("TPUMCIA_HEAD_FETCH", "") == "async":
+        # measurement knob (VERDICT r3 #4): enqueue the packed D2H at
+        # dispatch time so its ~33 ms link tail can overlap the wire
+        # fetches (distinct from the rejected pool-thread variant: the
+        # runtime owns the transfer, no Python thread competes). finish()'s
+        # np.asarray then just drains the already-started copy.
+        try:
+            packed.copy_to_host_async()
+        except AttributeError:
+            pass
 
     def finish() -> FusedFitResult:
         R = imp_cfg.n_repeats
