@@ -12,11 +12,14 @@ permutation sweeps enqueued before the concurrent wire fetches). There is no
 bench-private pipeline — what this prints is what a library user gets.
 
 Outage handling: the TPU tunnel drops for multi-minute stretches (CLAUDE.md).
-The parent process never imports jax; it probes backend availability in a
-subprocess with a bounded retry loop, runs the measurement in a CHILD process,
-and restarts the child if the tunnel dies mid-run — so the driver's capture
-gets rc=0 + a parsed JSON line as long as the tunnel recovers within the
-budget (default 40 min, env TPUMCIA_BENCH_MAX_WAIT).
+The load-bearing invariant is that the PARENT process never *initializes* the
+jax backend (an init during an outage hangs or poisons the process): it loads
+the outage module straight from its file — no tpumcia package import chain,
+which would pull in jax-adjacent modules — probes backend availability in a
+subprocess with a bounded retry loop, runs the measurement in a CHILD
+process, and restarts the child if the tunnel dies mid-run. The driver's
+capture then gets rc=0 + a parsed JSON line as long as the tunnel recovers
+within the budget (default 40 min, env TPUMCIA_BENCH_MAX_WAIT).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
@@ -35,31 +38,16 @@ BATCH = int(os.environ.get("TPUMCIA_BENCH_BATCH", 2_048))
 REPS = int(os.environ.get("TPUMCIA_BENCH_REPS", 8))
 
 
-def _probe_link(dev_array, n_bytes: int = 1 << 20) -> dict:
-    """One ~1 MB D2H timing captured just before the timed reps.
-
-    Stamps the tunnel's condition into the recorded line so run-to-run
-    throughput differences are attributable to link load at a glance
-    (round-3 lesson: a config regressed in the record purely from link
-    conditions, and nothing in the JSON could show it).
-    """
-    import numpy as np
-
-    flat = dev_array.reshape(-1)[: n_bytes // flat_itemsize(dev_array)]
-    np.asarray(flat)  # warm the path (compile the slice)
-    t0 = time.perf_counter()
-    out = np.asarray(flat)
-    dt = time.perf_counter() - t0
-    mb = out.nbytes / 1e6
-    return {"probe_mb": round(mb, 2), "d2h_mbps": round(mb / max(dt, 1e-9), 1)}
-
-
-def flat_itemsize(a) -> int:
-    return int(a.dtype.itemsize)
-
-
 def child_main() -> None:
     """The actual measurement; runs in a child so the parent can restart it."""
+    # test seam: simulate one child death so the parent's restart path can
+    # be exercised end-to-end (tests/test_outage.py)
+    marker = os.environ.get("TPUMCIA_BENCH_FAIL_ONCE_MARKER")
+    if marker and not os.path.exists(marker):
+        open(marker, "w").close()
+        print("simulated child failure (test seam)", file=sys.stderr)
+        sys.exit(17)
+
     from tpumcia.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -103,7 +91,9 @@ def child_main() -> None:
     # reference's excluded import/startup time)
     run_pipeline(gray_dev, labels, config=cfg)
 
-    link = _probe_link(gray_dev)
+    from tpumcia.utils.linkprobe import probe_link
+
+    link = probe_link(gray_dev)
 
     # ---- timed public-API pipeline (best of REPS: the remote device link
     # adds several hundred ms of run-to-run jitter — measured spread
@@ -162,9 +152,25 @@ def child_main() -> None:
     )
 
 
+def _load_outage_module():
+    """Import utils/outage.py from its file path: the parent must never run
+    the tpumcia package __init__ (whose import chain could some day create a
+    device array and initialize the possibly-dead backend)."""
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tpumcia", "utils", "outage.py",
+    )
+    spec = importlib.util.spec_from_file_location("_tpumcia_outage", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def main() -> int:
-    """Parent: bounded backend wait + child retry; never imports jax."""
-    from tpumcia.utils.outage import run_with_retry
+    """Parent: bounded backend wait + child retry; never initializes jax."""
+    run_with_retry = _load_outage_module().run_with_retry
 
     max_wait = float(os.environ.get("TPUMCIA_BENCH_MAX_WAIT", 2400))
     rc, parsed, meta = run_with_retry(

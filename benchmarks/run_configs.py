@@ -290,9 +290,16 @@ def main():
     ap.add_argument("--config", type=int, default=None)
     args = ap.parse_args()
     todo = [args.config] if args.config else sorted(CONFIGS)
+    from tpumcia.utils.linkprobe import probe_link
+
     for c in todo:
         try:
-            print(json.dumps(CONFIGS[c]()))
+            # captured immediately before the config runs: every recorded
+            # line carries the tunnel's condition at run time (VERDICT r3 #8)
+            link = probe_link()
+            line = CONFIGS[c]()
+            line["link"] = link
+            print(json.dumps(line))
         except Exception as e:  # keep going; record the failure
             print(json.dumps({"config": c, "error": repr(e)}))
 

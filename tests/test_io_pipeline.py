@@ -355,3 +355,32 @@ def test_stream_extract_explicit_process_split(tmp_path):
     )
     assert res_resume.shards_computed == 0 and res_resume.shards_skipped == 4
     assert res_resume.features.names == direct.names
+
+
+def test_stream_extract_rejects_inconsistent_process_topology(tmp_path):
+    """Explicit process_count>1 without an index would make every process
+    own index 0's shards (racing writes, missing rows); an explicit split
+    under a cross-process mesh would issue collectives over different shard
+    lists per process. Both must raise, as must an index without a count."""
+    from tpumcia.config import FeatureConfig
+    from tpumcia.parallel.mesh import make_mesh
+
+    images, labels, _ = synthetic_multichannel(2, num_classes=2, seed=0)
+
+    def fetch(idx):
+        return images[idx], None, labels[idx]
+
+    cfg = FeatureConfig(use_pallas="never")
+    with pytest.raises(ValueError, match="process_index"):
+        stream_extract(
+            fetch, len(images), tmp_path / "a", config=cfg, process_count=2
+        )
+    with pytest.raises(ValueError, match="process_count"):
+        stream_extract(
+            fetch, len(images), tmp_path / "b", config=cfg, process_index=1
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        stream_extract(
+            fetch, len(images), tmp_path / "c", config=cfg,
+            process_index=0, process_count=2, mesh=make_mesh(),
+        )

@@ -83,9 +83,26 @@ def _cpu_env() -> dict[str, str]:
     return env
 
 
+@pytest.mark.slow  # spawns a jax-importing subprocess (backend init cost)
 def test_probe_backend_succeeds_on_cpu_backend():
     result = probe_backend(timeout_s=240.0, env=_cpu_env())
     assert result["ok"] is True, result
+
+
+def test_run_with_retry_caps_consecutive_child_failures():
+    """A child that keeps dying while the backend probes healthy is a child
+    BUG — the parent must fail fast with that diagnosis instead of burning
+    the whole outage budget respawning it."""
+    ok_wait = lambda remaining: {"ok": True, "attempts": 1, "waited_s": 0.0}  # noqa: E731
+    rc, parsed, meta = run_with_retry(
+        [sys.executable, "-c", "raise SystemExit(1)"],
+        max_wait_s=3600.0,
+        log=_silent,
+        wait=ok_wait,
+        max_child_failures=3,
+    )
+    assert rc == 1 and parsed is None
+    assert meta["child_failures"] == 3
 
 
 def test_run_with_retry_restarts_failed_child(tmp_path):
@@ -131,15 +148,17 @@ def test_run_with_retry_gives_up_when_backend_never_returns():
 @pytest.mark.slow
 def test_bench_py_survives_one_failed_child_end_to_end(tmp_path):
     # Full bench.py orchestration in a subprocess on the CPU backend with a
-    # tiny workload: the first child attempt is forced to fail via an env
-    # knob-free mechanism (a wrapper that fails once), then the real child
-    # runs.  Asserts rc=0 and a parsed JSON line with outage metadata.
+    # tiny workload: the FIRST child attempt is forced to die via the
+    # marker-file test seam (simulating a mid-run tunnel death), then the
+    # parent restarts it and the real measurement runs.  Asserts rc=0, a
+    # parsed JSON line, and that exactly one child failure was absorbed.
     env = _cpu_env()
     env.update(
         TPUMCIA_BENCH_N_IMAGES="96",
         TPUMCIA_BENCH_BATCH="48",
         TPUMCIA_BENCH_REPS="1",
         TPUMCIA_BENCH_MAX_WAIT="1200",
+        TPUMCIA_BENCH_FAIL_ONCE_MARKER=str(tmp_path / "fail_once"),
         XLA_FLAGS="--xla_force_host_platform_device_count=1",
     )
     proc = subprocess.run(
@@ -151,9 +170,10 @@ def test_bench_py_survives_one_failed_child_end_to_end(tmp_path):
         cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "simulated child failure" in proc.stderr
     line = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")][-1]
     parsed = json.loads(line)
     assert parsed["value"] is not None and parsed["value"] > 0
-    assert parsed["detail"]["outage"]["child_failures"] == 0
+    assert parsed["detail"]["outage"]["child_failures"] == 1
     assert "link" in parsed["detail"]
     assert "rep_spread_s" in parsed["detail"]

@@ -128,14 +128,37 @@ def stream_extract(
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if process_count is None:
+        if process_index is not None:
+            raise ValueError(
+                "stream_extract: process_index was given without "
+                "process_count — pass both (or neither, for autodetection)"
+            )
         import jax
 
         # a cross-process `mesh` means each shard is already computed SPMD
         # over every process — the per-process feed split only applies to
         # the mesh-less (per-host local compute) mode
         process_count = jax.process_count() if mesh is None else 1
+        process_index = jax.process_index() if mesh is None else 0
+    elif process_count > 1:
         if process_index is None:
-            process_index = jax.process_index() if mesh is None else 0
+            # defaulting the index would make EVERY process take index 0:
+            # identical shard ownership, racing writes, and 1-1/N of the
+            # collection never computed by anyone
+            raise ValueError(
+                "stream_extract: an explicit process_count > 1 requires an "
+                "explicit process_index (autodetection covers the "
+                "jax.distributed case when both are omitted)"
+            )
+        if mesh is not None:
+            # the round-robin pending split under SPMD dispatches would
+            # have each process issue collectives over a different shard
+            # list — a deadlock, not a feed split
+            raise ValueError(
+                "stream_extract: per-process feed (process_count > 1) and "
+                "a cross-process mesh are mutually exclusive — drop the "
+                "mesh (each process computes locally) or the explicit split"
+            )
     process_index = process_index or 0
     if not (0 <= process_index < process_count):
         raise ValueError(

@@ -125,6 +125,7 @@ def run_with_retry(
     env: dict[str, str] | None = None,
     log: Callable[[str], None] | None = None,
     wait: Callable[[float], dict] | None = None,
+    max_child_failures: int = 5,
 ) -> tuple[int, dict | None, dict]:
     """Run ``child_cmd`` to completion, restarting it across tunnel outages.
 
@@ -132,7 +133,10 @@ def run_with_retry(
     prefixed stdout line).  Before each attempt the backend is probed with a
     bounded wait (injectable via ``wait`` for tests); a child that fails or
     hangs (``child_timeout_s``) is retried until ``max_wait_s`` of total
-    budget is spent.  Child stderr is forwarded.  Returns
+    budget is spent — but at most ``max_child_failures`` times: a child that
+    keeps dying while the backend probes healthy is a child BUG, and
+    re-spawning it for the whole budget would bury that diagnosis under a
+    40-minute 'backend unavailable'.  Child stderr is forwarded.  Returns
     ``(rc, parsed_json_or_None, outage_meta)`` where ``outage_meta`` records
     ``{"attempts", "waited_for_backend_s", "child_failures"}``.
     """
@@ -198,6 +202,17 @@ def run_with_retry(
                 "child_failures": child_failures,
             }
         child_failures += 1
+        if child_failures >= max_child_failures:
+            log(
+                "[tpumcia.outage] child failed %d times with the backend "
+                "probing healthy — giving up (child bug, not an outage)"
+                % child_failures
+            )
+            return 1, None, {
+                "attempts": probe_attempts,
+                "waited_for_backend_s": round(waited_for_backend, 1),
+                "child_failures": child_failures,
+            }
         log(
             "[tpumcia.outage] child attempt failed (rc=%d, parsed=%s); retrying"
             % (proc.returncode, parsed is not None)
