@@ -83,7 +83,11 @@ def plot_permutation_importance(
     order = np.argsort(perm_result.importances_mean)
     sel = order[-top_k:-1] if compat_drop_top else order[-top_k:]
     ax, fig = _axes(ax)
-    ax.boxplot(imp[sel].T, vert=False, tick_labels=[names[i] for i in sel])
+    ax.boxplot(
+        imp[sel].T,
+        orientation="horizontal",
+        tick_labels=[names[i] for i in sel],
+    )
     ax.set_xlabel("accuracy drop")
     ax.set_title(title)
     fig.tight_layout()
