@@ -494,10 +494,12 @@ def _kernel(
         # build EVERY step's one-hots first, then run all accumulates
         # (VMEM-heavy: all steps' artifacts live at once)
         states = [fresh_state() for _ in range(num_channels)]
+        ctx_cache = {}
         arts = []
         for c, k in steps:
-            ctx = channel_ctx(c)
-            arts.append((c, k, build(ctx, k)))
+            if c not in ctx_cache:
+                ctx_cache[c] = channel_ctx(c)
+            arts.append((c, k, build(ctx_cache[c], k)))
         for c, k, art in arts:
             states[c] = accum(states[c], art)
             if k == num_chunks - 1:
