@@ -49,4 +49,7 @@ run bench_default -- python bench.py
 run bench_async_head TPUMCIA_HEAD_FETCH=async -- python bench.py
 run bench_roll TPUMCIA_KERNEL_SHIFT=roll -- python bench.py
 
+# 7. refresh the 5-config record (link-stamped lines for BENCHMARKS.md)
+run configs -- python benchmarks/run_configs.py
+
 echo "== r4 probe done $(date -u +%FT%TZ) ==" >> "$LOG"
