@@ -41,6 +41,12 @@ run shift_roll TPUMCIA_KERNEL_SHIFT=roll -- python benchmarks/mfu.py
 run roll_plus_pipelined TPUMCIA_KERNEL_SHIFT=roll TPUMCIA_KERNEL_SCHED=pipelined \
   -- python benchmarks/mfu.py
 
+# 4b. pipelined schedule with more steps per image (smaller chunks)
+run pipelined_chunk1024 TPUMCIA_KERNEL_SCHED=pipelined TPUMCIA_KERNEL_CHUNK=1024 \
+  -- python benchmarks/mfu.py
+run pipelined_chunk2048 TPUMCIA_KERNEL_SCHED=pipelined TPUMCIA_KERNEL_CHUNK=2048 \
+  -- python benchmarks/mfu.py
+
 # 5. one-shot decomposition (VERDICT #7)
 run oneshot -- python benchmarks/oneshot_probe.py
 

@@ -115,7 +115,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpumcia.features.stats import SuffStats, rescale_lut, _prep_inputs
 
-_CHUNK = 4096  # pixels/pairs per chunk (lane-major)
+# pixels/pairs per chunk (lane-major). Dev knob: with the pipelined
+# schedule, smaller chunks create MORE (channel, chunk) steps per image
+# for VPU/MXU overlap (at CHUNK=4096 a 64x64 image is one chunk, so only
+# C steps exist) at the price of shorter MXU contractions.
+_CHUNK = int(os.environ.get("TPUMCIA_KERNEL_CHUNK", "4096"))
 # int8 one-hot matmuls (s8 x s8 -> s32) run faster than bf16 on the v5e MXU
 # and stay exact (operands are 0/1, accumulators are integer counts).
 # Set TPUMCIA_KERNEL_INT8=0 to fall back to bf16.
