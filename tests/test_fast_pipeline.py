@@ -364,3 +364,23 @@ def test_pending_in_flight_pacing(workload):
     paced = extract_features_pending(imgs, batch_size=16, in_flight=2).result()
     np.testing.assert_array_equal(wide.values, paced.values)
     np.testing.assert_array_equal(wide.degenerate, paced.degenerate)
+
+
+def test_noise_channels_chw_bit_identical():
+    """The fused dispatch's channel-major synthesis must be bit-identical
+    to transpose(add_noise_channels(...)): same PRNG draw shape, same
+    truncation — only the relayout strategy differs."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpumcia.preprocess.synth import add_noise_channels, noise_channels_chw
+
+    rng = np.random.RandomState(0)
+    gray = rng.randint(0, 256, size=(5, 17, 23), dtype=np.uint8)
+    key = jax.random.key(7)
+    hwc = add_noise_channels(gray, key, num_noise=3, var=0.01)
+    chw = noise_channels_chw(gray, key, num_noise=3, var=0.01)
+    np.testing.assert_array_equal(
+        np.asarray(chw),
+        np.transpose(np.asarray(hwc), (0, 3, 1, 2)).astype(np.int32),
+    )

@@ -334,19 +334,32 @@ def _batch_fused_dispatch(
     from tpumcia.features.finalize import _finalize
     from tpumcia.features.hybrid import _device_reduce_wire
 
-    if synth_noise:
-        from tpumcia.preprocess.synth import add_noise_channels
+    if synth_noise and mask is None:
+        from tpumcia.preprocess.synth import noise_channels_chw
 
-        imgs = add_noise_channels(
+        # channel-major synthesis: bit-identical values, but no
+        # interleaved->planar transpose of the stacked batch (the noise
+        # relayout fuses into the generator; the gray plane is a reshape)
+        img = noise_channels_chw(
             imgs, key, num_noise=synth_noise, var=synth_var
         )
-    if mask is None:
-        img = jnp.transpose(jnp.asarray(imgs), (0, 3, 1, 2)).astype(jnp.int32)
         w = None
     else:
-        from tpumcia.features.stats import _prep_inputs
+        if synth_noise:
+            from tpumcia.preprocess.synth import add_noise_channels
 
-        img, w = _prep_inputs(imgs, mask)
+            imgs = add_noise_channels(
+                imgs, key, num_noise=synth_noise, var=synth_var
+            )
+        if mask is None:
+            img = jnp.transpose(
+                jnp.asarray(imgs), (0, 3, 1, 2)
+            ).astype(jnp.int32)
+            w = None
+        else:
+            from tpumcia.features.stats import _prep_inputs
+
+            img, w = _prep_inputs(imgs, mask)
     if use_pallas:
         from tpumcia.features.pallas_glcm import _pallas_stats_core
 

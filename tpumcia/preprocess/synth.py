@@ -44,6 +44,41 @@ def add_noise_channels(
     return jnp.concatenate([images[..., None].astype(jnp.uint8), noise_u8], axis=-1)
 
 
+def noise_channels_chw(
+    images: jax.Array,
+    key: jax.Array,
+    *,
+    num_noise: int = 2,
+    var: float = 0.01,
+) -> jax.Array:
+    """(B, H, W) uint8 -> (B, 1 + num_noise, H, W) int32, bit-identical to
+    ``transpose(add_noise_channels(...), (0, 3, 1, 2)).astype(int32)``.
+
+    Same (B, H, W, num_noise) PRNG draw as :func:`add_noise_channels`
+    (stream compatibility with the classic path is pinned by tests), but
+    the channels-last -> channels-first relayout touches only the generated
+    noise — where XLA fuses it into the generator epilogue — while the
+    grayscale plane is a contiguous reshape. The fused extraction dispatch
+    consumes channel-major int32, so this skips the interleaved->planar
+    gather over the whole stacked batch (the measured prologue cost on the
+    fast path). The f32 -> int32 cast truncates toward zero exactly like
+    the reference's uint8 cast (values are clipped to [0, 255] first).
+    """
+    images = jnp.asarray(images)
+    if images.ndim != 3:
+        raise ValueError(f"expected (B, H, W) grayscale batch, got {images.shape}")
+    B, H, W = images.shape
+    noise = jax.random.normal(key, (B, H, W, num_noise), jnp.float32) * jnp.sqrt(
+        jnp.float32(var)
+    )
+    noise_chw = jnp.transpose(
+        (jnp.clip(noise, 0.0, 1.0) * 255.0).astype(jnp.int32), (0, 3, 1, 2)
+    )
+    return jnp.concatenate(
+        [images[:, None, :, :].astype(jnp.int32), noise_chw], axis=1
+    )
+
+
 def synth_batch_keys(seed: int, num_batches: int) -> jax.Array:
     """The canonical per-batch PRNG stream for batched noise synthesis:
     batch i of a run draws with ``split(key(seed), num_batches)[i]``. Both
