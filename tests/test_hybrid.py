@@ -134,3 +134,88 @@ def test_hybrid_fuzz_vs_exact(rng):
         np.testing.assert_array_equal(
             np.asarray(a.degenerate), np.asarray(b.degenerate)
         )
+
+
+def test_hybrid_std_correct_for_nondefault_levels(rng):
+    """r4 regression: _device_reduce hard-coded 255 as the level-value
+    divisor, making std wrong by (L-1)/255 for any levels != 256 on the
+    hybrid backend (measured 17x at levels=16). Host backend (independent
+    f64 path) is the reference here."""
+    imgs = (rng.random((3, 20, 20, 2)) * 16).astype(np.uint8)
+    for levels in (16, 64):
+        from tpumcia.config import GLCMConfig
+
+        cfg_h = FeatureConfig(
+            precision="hybrid", use_pallas="never",
+            glcm=GLCMConfig(levels=levels),
+        )
+        cfg_e = FeatureConfig(
+            precision="exact", use_pallas="never",
+            glcm=GLCMConfig(levels=levels),
+        )
+        got = extract_features(imgs, config=cfg_h)
+        ref = extract_features(imgs, config=cfg_e)
+        std_cols = [i for i, n in enumerate(ref.names) if n.startswith("std")]
+        np.testing.assert_allclose(
+            np.asarray(got.values)[:, std_cols],
+            np.asarray(ref.values)[:, std_cols],
+            rtol=1e-5, atol=1e-7,
+        )
+
+
+def test_hybrid_levels_gt_256_exact_transport(rng):
+    """r4 regression: the packed-f32 transport (levels > 256) cast integer
+    sums past 2^24 to f32, breaking the documented exactness (correlation
+    drifted 0.5% relative on large high-level channels). Wide sums now ship
+    as exact 16-bit halves; the whole feature row must match the host
+    backend to f64 assembly tolerance."""
+    # values concentrated high so s_i/s_i2 sums are large
+    imgs = (384 + rng.random((2, 100, 100, 1)) * 128).astype(np.uint16)
+    from tpumcia.config import GLCMConfig
+
+    cfg_h = FeatureConfig(
+        precision="hybrid", use_pallas="never", glcm=GLCMConfig(levels=512)
+    )
+    cfg_e = FeatureConfig(
+        precision="exact", use_pallas="never", glcm=GLCMConfig(levels=512)
+    )
+    got = extract_features(imgs, config=cfg_h)
+    ref = extract_features(imgs, config=cfg_e)
+    np.testing.assert_allclose(
+        np.nan_to_num(np.asarray(got.values)),
+        np.nan_to_num(np.asarray(ref.values)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_constant_channel_nan_contract_all_backends():
+    """r4 regression: the host backend detected zero variance via the
+    ROUNDED m2 == 0, so a constant nonzero channel could return kurt=-2/
+    skew=+-1 (n=100, level=200 reproduced it) instead of the scipy NaN the
+    module contract documents; hybrid (exact integer numerators) was right
+    and the backends disagreed. All backends must now agree: NaN."""
+    imgs = np.full((1, 10, 10, 1), 200, np.uint8)
+    for precision in ("exact", "hybrid"):
+        cfg = FeatureConfig(precision=precision, use_pallas="never")
+        fm = extract_features(imgs, config=cfg)
+        vals = dict(zip(fm.names, np.asarray(fm.values)[0]))
+        assert np.isnan(vals["kurtosis_intensity_Ch1"]), (precision, vals)
+        assert np.isnan(vals["skew_intensity_Ch1"]), (precision, vals)
+    cfg = FeatureConfig(precision="device", use_pallas="never")
+    fm = extract_features(imgs, config=cfg)
+    vals = dict(zip(fm.names, np.asarray(fm.to_numpy())[0]))
+    assert np.isnan(vals["kurtosis_intensity_Ch1"]), vals
+    assert np.isnan(vals["skew_intensity_Ch1"]), vals
+
+
+def test_finalize_hybrid_rejects_oversized_counts(rng):
+    """Direct finalize_features(backend='hybrid') on large-image stats must
+    refuse loudly (16-bit wire fields would silently wrap) — only
+    extract_features demotes automatically."""
+    from tpumcia.features.finalize import finalize_features
+    from tpumcia.features.stats import sufficient_stats
+
+    imgs = (rng.random((1, 300, 300, 1)) * 256).astype(np.uint8)
+    stats = sufficient_stats(imgs)
+    with pytest.raises(ValueError, match="65536"):
+        finalize_features(stats, backend="hybrid")

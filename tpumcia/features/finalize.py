@@ -83,7 +83,12 @@ def _intensity_block(hist, count, xp, dtype):
     m3 = xp.sum(hd2 * dev, axis=-1) / safe_n
     m4 = xp.sum(hd2 * dev2, axis=-1) / safe_n
     std = xp.sqrt(m2)
-    zero_var = m2 == 0
+    # zero-variance must be detected EXACTLY (single occupied level), not
+    # via m2 == 0: mean is a rounded quotient here, so a constant nonzero
+    # channel can give m2 = O(eps) and return kurt=-2/skew=+-1 instead of
+    # the scipy NaN contract (which the hybrid backend — exact integer
+    # mean numerators — gets right; the backends must agree)
+    zero_var = (min_lev == max_lev) | (m2 == 0)
     safe_m2 = xp.where(zero_var, 1, m2)
     nan = xp.full_like(m2, np.nan)
     kurt = xp.where(zero_var, nan, m4 / (safe_m2 * safe_m2) - 3.0)

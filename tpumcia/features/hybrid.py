@@ -36,6 +36,24 @@ from tpumcia.features.stats import SuffStats
 _Q10 = np.arange(1, 10, dtype=np.int32)  # q*10 for q = 0.1 .. 0.9
 
 
+def _quad_shift(levels: int) -> int:
+    """Limb shift for the quadratic sums: the square's hi part stays
+    <= 2^15 per level, so each i32 limb partial sum is < 2^31 for
+    per-channel counts < 2^16 (valid for levels <= 32768; base-256 for the
+    classic levels <= 256 regime, where partials are also f32-exact)."""
+    if levels > 32768:
+        raise ValueError("hybrid reduction supports at most 32768 levels")
+    return max(8, 2 * int(levels - 1).bit_length() - 15)
+
+
+@jax.jit
+def _count_ok(stats: SuffStats) -> jax.Array:
+    """Device-side check of the hybrid transport precondition: per-channel
+    pixel counts < 2^16 (16-bit wire fields; 16-bit-half packing; limb
+    bounds). Pair counts are <= pixel counts."""
+    return jnp.max(stats.count) < 65536
+
+
 @jax.jit
 def _device_reduce(stats: SuffStats):
     f32 = jnp.float32
@@ -71,9 +89,14 @@ def _device_reduce(stats: SuffStats):
     idx_hi = value_at(k_hi)
 
     # central moments: deviations from the *exact* mean numerator
-    # e = n*k - T  (exact i32, |e| <= 255*65535); dev = e / (255*n)
+    # e = n*k - T  (exact i32, |e| <= (L-1)*65535); dev = e / ((L-1)*n).
+    # The divisor is the level-value scale (level v's float value is
+    # v/(L-1), matching assemble_reduced's `top`) — a hard-coded 255 here
+    # made std wrong by (L-1)/255 for any levels != 256.
     e = safe_n[..., None] * k[None, None, :] - total_raw[..., None]
-    dev = e.astype(f32) / (255.0 * safe_n[..., None].astype(f32))
+    dev = e.astype(f32) / (
+        jnp.float32(L - 1) * safe_n[..., None].astype(f32)
+    )
     hist_f = hist.astype(f32)
     dev2 = dev * dev
     hd2 = hist_f * dev2
@@ -91,14 +114,28 @@ def _device_reduce(stats: SuffStats):
     ml = stats.marg_l.astype(i32)
     mr = stats.marg_r.astype(i32)
     i2 = k * k
-    # base-256 limbs of the squares keep every partial sum < 2^24
-    s_i2_hi = jnp.sum(ml * (i2 >> 8), axis=-1)
-    s_i2_lo = jnp.sum(ml * (i2 & 255), axis=-1)
-    s_j2_hi = jnp.sum(mr * (i2 >> 8), axis=-1)
-    s_j2_lo = jnp.sum(mr * (i2 & 255), axis=-1)
+    # limb split of the squares: pick the shift so BOTH limb partial sums
+    # stay < 2^31 in i32 for any levels (hi part <= 2^15 per level, counts
+    # < 2^16). For levels <= 256 this is the classic base-256 split whose
+    # partials are also < 2^24 (f32-exact, the u32 wire relies on it); for
+    # larger level counts exactness is restored at pack/unpack time by
+    # shipping each i32 limb sum as two 16-bit f32 halves.
+    S = _quad_shift(L)
+    lo_mask = (1 << S) - 1
+    s_i2_hi = jnp.sum(ml * (i2 >> S), axis=-1)
+    s_i2_lo = jnp.sum(ml * (i2 & lo_mask), axis=-1)
+    s_j2_hi = jnp.sum(mr * (i2 >> S), axis=-1)
+    s_j2_lo = jnp.sum(mr * (i2 & lo_mask), axis=-1)
     s_i = jnp.sum(ml * k, axis=-1)  # exact first moments
     s_j = jnp.sum(mr * k, axis=-1)
     if stats.dstats is not None:
+        if L > 256:
+            # kernel dstats limbs are base-256; their hi-limb exactness
+            # bound (and this reduction's layout) only holds for <= 256
+            # levels — extract_features keeps the diff-hist path for more
+            raise ValueError(
+                "hybrid reduction with kernel dstats requires levels <= 256"
+            )
         # kernel v4 fast path: the difference-derived sums were already
         # reduced from the VMEM G accumulator in-kernel (same limb layout)
         ds = stats.dstats
@@ -111,9 +148,9 @@ def _device_reduce(stats: SuffStats):
         D = dh.shape[-1]
         d = jnp.arange(D, dtype=i32) - (L - 1)
         d2 = d * d
-        s_d2_hi = jnp.sum(dh * (d2 >> 8), axis=-1)
-        s_d2_lo = jnp.sum(dh * (d2 & 255), axis=-1)
-        dissim_raw = jnp.sum(dh * jnp.abs(d), axis=-1)  # <= 255*65535, exact
+        s_d2_hi = jnp.sum(dh * (d2 >> S), axis=-1)
+        s_d2_lo = jnp.sum(dh * (d2 & lo_mask), axis=-1)
+        dissim_raw = jnp.sum(dh * jnp.abs(d), axis=-1)  # <= (L-1)*65535, exact i32
         homog_sum = jnp.sum(
             dh.astype(f32) / (1.0 + d2.astype(f32)), axis=-1
         )
@@ -146,42 +183,60 @@ def _device_reduce(stats: SuffStats):
     )
 
 
-# packing layout: 20 (B, C) scalars, then (B, C, k) vectors (percentile
-# triples of 9 + the 4 sumsq limbs). Every value is exactly representable in
-# f32 in the hybrid regime (integers < 2^24 or already f32).
-_SCALAR_FIELDS = (
-    "n", "vmax", "min_lev", "max_lev", "total_raw", "m2", "m3", "m4",
-    "entropy", "s_i2_hi", "s_i2_lo", "s_j2_hi", "s_j2_lo", "s_d2_hi",
-    "s_d2_lo", "s_i", "s_j", "dissim_raw", "homog_sum", "npairs",
+# packing layout: 10 narrow (B, C) scalars (f32-exact: < 2^24 or native
+# f32), 10 wide i32 sums shipped as EXACT 16-bit (hi, lo) f32 halves —
+# total_raw / s_i / s_j / dissim_raw / the four quadratic limb sums can
+# exceed 2^24 for levels > 256, where a bare f32 cast would silently round
+# — then (B, C, k) vectors (percentile triples of 9 + the 4 sumsq limbs).
+_NARROW_FIELDS = (
+    "n", "vmax", "min_lev", "max_lev", "m2", "m3", "m4",
+    "entropy", "homog_sum", "npairs",
+)
+_WIDE_FIELDS = (
+    "total_raw", "s_i", "s_j", "dissim_raw",
+    "s_i2_hi", "s_i2_lo", "s_j2_hi", "s_j2_lo", "s_d2_hi", "s_d2_lo",
 )
 _VEC_FIELDS = (("idx_lo", 9), ("idx_hi", 9), ("rem", 9), ("sumsq", 4))
 
 
 @jax.jit
 def _device_reduce_packed(stats: SuffStats) -> jax.Array:
-    """Single (B, C, 51) f32 array — one D2H fetch instead of 25 (each fetch
+    """Single (B, C, 61) f32 array — one D2H fetch instead of 25 (each fetch
     pays full round-trip latency on a remote device link)."""
+    f32 = jnp.float32
     r = _device_reduce(stats)
-    parts = [r[f].astype(jnp.float32)[..., None] for f in _SCALAR_FIELDS]
-    parts += [r[f].astype(jnp.float32) for f, _ in _VEC_FIELDS]
+    parts = [r[f].astype(f32)[..., None] for f in _NARROW_FIELDS]
+    for f in _WIDE_FIELDS:
+        v = r[f]  # non-negative i32 sum
+        parts.append((v >> 16).astype(f32)[..., None])
+        parts.append((v & 0xFFFF).astype(f32)[..., None])
+    parts += [r[f].astype(f32) for f, _ in _VEC_FIELDS]
     return jnp.concatenate(parts, axis=-1)
 
 
-def unpack_reduced(packed: np.ndarray) -> dict:
+def unpack_reduced(packed: np.ndarray, *, levels: int = 256) -> dict:
     packed = np.asarray(packed)
-    out = {}
-    for i, f in enumerate(_SCALAR_FIELDS):
-        out[f] = packed[..., i]
-    base = len(_SCALAR_FIELDS)
-    for f, width in _VEC_FIELDS:
-        out[f] = packed[..., base : base + width]
-        base += width
-    # direct f64 quadratic sums for assemble_reduced (the f32 wire carries
-    # them as base-256 limb pairs; the u32 wire carries them whole)
     f64 = np.float64
-    out["s_i2"] = 256.0 * out.pop("s_i2_hi").astype(f64) + out.pop("s_i2_lo").astype(f64)
-    out["s_j2"] = 256.0 * out.pop("s_j2_hi").astype(f64) + out.pop("s_j2_lo").astype(f64)
-    out["s_d2"] = 256.0 * out.pop("s_d2_hi").astype(f64) + out.pop("s_d2_lo").astype(f64)
+    out = {}
+    i = 0
+    for f in _NARROW_FIELDS:
+        out[f] = packed[..., i]
+        i += 1
+    for f in _WIDE_FIELDS:
+        out[f] = (
+            packed[..., i].astype(f64) * 65536.0
+            + packed[..., i + 1].astype(f64)
+        )
+        i += 2
+    for f, width in _VEC_FIELDS:
+        out[f] = packed[..., i : i + width]
+        i += width
+    # f64 quadratic sums for assemble_reduced (limb base matches the device
+    # reduction's _quad_shift; the u32 wire carries these whole instead)
+    base = float(1 << _quad_shift(levels))
+    out["s_i2"] = base * out.pop("s_i2_hi") + out.pop("s_i2_lo")
+    out["s_j2"] = base * out.pop("s_j2_hi") + out.pop("s_j2_lo")
+    out["s_d2"] = base * out.pop("s_d2_hi") + out.pop("s_d2_lo")
     from tpumcia.features.stats import glcm_sumsq_value
 
     out["sumsq_value"] = glcm_sumsq_value(out.pop("sumsq"), np, f64)
@@ -339,10 +394,23 @@ def finalize_hybrid(
     stats: SuffStats, *, include_intensity: bool = True, include_glcm: bool = True
 ) -> FinalizedFeatures:
     levels = stats.hist.shape[-1]
+    ok = _count_ok(stats)  # enqueued alongside the reduction dispatch
     if levels <= 256:
         reduced = unpack_wire(_fetch_concurrent(_device_reduce_wire(stats)))
     else:
-        reduced = unpack_reduced(_fetch_concurrent(_device_reduce_packed(stats)))
+        reduced = unpack_reduced(
+            _fetch_concurrent(_device_reduce_packed(stats)), levels=levels
+        )
+    if not bool(ok):
+        # the transport's exactness (16-bit wire fields, 16-bit halves,
+        # i32 limb bounds) requires per-channel counts < 2^16; violating
+        # it would return silently-wrong features, so refuse loudly.
+        # extract_features demotes such inputs to the 'host' backend
+        # before ever reaching here — this guards direct finalize calls.
+        raise ValueError(
+            "hybrid finalize requires per-channel pixel counts < 65536 "
+            "(images this large should use precision='exact')"
+        )
     return assemble_reduced(
         reduced,
         levels=levels,

@@ -113,7 +113,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpumcia.features.stats import SuffStats, rescale_lut, _prep_inputs
+from tpumcia.features.stats import (
+    SuffStats,
+    rescale_lut_device,
+    _prep_inputs,
+)
 
 # pixels/pairs per chunk (lane-major). Dev knob: with the pipelined
 # schedule, smaller chunks create MORE (channel, chunk) steps per image
@@ -1018,7 +1022,7 @@ def sufficient_stats_pallas_multi(
     (distance, angle) offsets (skimage list API, ipynb:298).
     ``need_diff_hist=False`` selects the reduced v4 kernel (see
     :func:`sufficient_stats_pallas`)."""
-    lut = jnp.asarray(rescale_lut(levels))
+    lut = rescale_lut_device(levels)  # cached device copy, no re-upload
     offsets = tuple(tuple(o) for o in offsets)
     if mask is None:
         images = jnp.asarray(images)
@@ -1058,7 +1062,7 @@ def sufficient_stats_pallas(
     finalize backend needs the full histogram and must use the default.
     """
     del with_intensity, with_glcm
-    lut = jnp.asarray(rescale_lut(levels))
+    lut = rescale_lut_device(levels)  # cached device copy, no re-upload
     if mask is None:
         # skip _prep_inputs' all-ones weight array (100 MB at B=2048)
         images = jnp.asarray(images)

@@ -174,13 +174,21 @@ def _single_image_stats(
 
     # --- GLCM rescale: raw level -> reference uint8 level, via LUT row of the
     # channel max, applied with the already-built one-hot (an MXU matvec).
+    # HIGHEST precision: the LUT/row values reach L-1, which is NOT
+    # bf16-representable above 256 — DEFAULT matmul precision would
+    # silently truncate rescaled levels for levels > 256 configs
+    hi_prec = jax.lax.Precision.HIGHEST
     row = jnp.einsum(
         "cl,lk->ck",
         _one_hot(jnp.clip(vmax, 0, L - 1)[:, None], L, onehot_dtype)[:, 0, :],
         lut.astype(f32),
         preferred_element_type=f32,
+        precision=hi_prec,
     )  # (C, L) float-exact integers
-    resc = jnp.einsum("cpl,cl->cp", oh_raw, row, preferred_element_type=f32)
+    resc = jnp.einsum(
+        "cpl,cl->cp", oh_raw, row, preferred_element_type=f32,
+        precision=hi_prec,
+    )
     resc = resc.astype(jnp.int32).reshape(C, H, W)
 
     marg_l, marg_r, diff_hist, glcm_sumsq, pair_count = _glcm_offset_stats(
@@ -259,13 +267,18 @@ def _single_image_stats_multi(
     count = jnp.sum(wflat.astype(f32), axis=1)
     vmax = jnp.max(jnp.where(weight > 0, img, -1), axis=(1, 2)).astype(jnp.int32)
 
+    hi_prec = jax.lax.Precision.HIGHEST  # LUT values > 256 aren't bf16-exact
     row = jnp.einsum(
         "cl,lk->ck",
         _one_hot(jnp.clip(vmax, 0, L - 1)[:, None], L, onehot_dtype)[:, 0, :],
         lut.astype(f32),
         preferred_element_type=f32,
+        precision=hi_prec,
     )
-    resc = jnp.einsum("cpl,cl->cp", oh_raw, row, preferred_element_type=f32)
+    resc = jnp.einsum(
+        "cpl,cl->cp", oh_raw, row, preferred_element_type=f32,
+        precision=hi_prec,
+    )
     resc = resc.astype(jnp.int32).reshape(C, H, W)
 
     out = []
@@ -315,7 +328,7 @@ def sufficient_stats_multi(
     """One fused device pass producing per-offset :class:`SuffStats` (the
     multi-offset sibling of :func:`sufficient_stats`)."""
     img, w = _prep_inputs_opt(images, mask)
-    lut = jnp.asarray(rescale_lut(levels))
+    lut = rescale_lut_device(levels)  # cached device copy, no re-upload
     return _sufficient_stats_multi_jit(
         img,
         w,
@@ -423,7 +436,7 @@ def sufficient_stats(
     chunk_size : images per vmapped chunk inside the scan (memory knob).
     """
     img, w = _prep_inputs_opt(images, mask)
-    lut = jnp.asarray(rescale_lut(levels))
+    lut = rescale_lut_device(levels)  # cached device copy, no re-upload
     return _sufficient_stats_jit(
         img,
         w,
@@ -483,54 +496,66 @@ def glcm_matrix(
         offsets = (tuple(offset),)
 
     img, w = _prep_inputs(images, mask)
-    lut = jnp.asarray(rescale_lut(levels))
+    lut = rescale_lut_device(levels)  # cached device copy, no re-upload
 
-    @jax.jit
-    def run(img, w):
-        def one(img1, w1):
-            C, H, W = img1.shape
-            f32 = jnp.float32
-            vmax = jnp.max(jnp.where(w1 > 0, img1, -1), axis=(1, 2)).astype(jnp.int32)
-            row = jnp.take(lut, jnp.clip(vmax, 0, levels - 1), axis=0).astype(f32)
-            oh_raw = _one_hot(img1.reshape(C, -1), levels, f32)
-            resc = (
-                jnp.einsum("cpl,cl->cp", oh_raw, row, preferred_element_type=f32)
-                .astype(jnp.int32)
-                .reshape(C, H, W)
-            )
-            planes = []
-            for dr, dc in offsets:
-                r0, r1 = max(0, -dr), H - max(0, dr)
-                c0, c1 = max(0, -dc), W - max(0, dc)
-                if r0 >= r1 or c0 >= c1:
-                    planes.append(jnp.zeros((C, levels, levels), f32))
-                    continue
-                left = resc[:, r0:r1, c0:c1].reshape(C, -1)
-                right = resc[
-                    :, r0 + dr : r1 + dr, c0 + dc : c1 + dc
-                ].reshape(C, -1)
-                pw = (
-                    w1[:, r0:r1, c0:c1]
-                    * w1[:, r0 + dr : r1 + dr, c0 + dc : c1 + dc]
-                ).reshape(C, -1)
-                oh_l = _one_hot(left, levels, f32) * pw[..., None]
-                oh_r = _one_hot(right, levels, f32)
-                g = jnp.einsum(
-                    "cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32
-                )
-                if symmetric:
-                    g = g + jnp.swapaxes(g, -1, -2)
-                if normed:
-                    s = jnp.sum(g, axis=(-1, -2), keepdims=True)
-                    g = g / jnp.where(s == 0, 1.0, s)
-                planes.append(g)
-            return jnp.stack(planes)  # (O, C, L, L)
-
-        return jax.lax.map(lambda xw: one(xw[0], xw[1]), (img, w), batch_size=8)
-
-    out = run(img, w)  # (B, O, C, L, L)
+    out = _glcm_matrix_jit(
+        img, w, lut,
+        levels=levels, offsets=offsets, symmetric=symmetric, normed=normed,
+    )  # (B, O, C, L, L)
     if not list_api:
         return out[:, 0]
     B = out.shape[0]
     out = jnp.moveaxis(out, 1, -1)  # (B, C, L, L, O)
     return out.reshape(B, out.shape[1], levels, levels, len(distances), len(angles))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("levels", "offsets", "symmetric", "normed")
+)
+def _glcm_matrix_jit(img, w, lut, *, levels, offsets, symmetric, normed):
+    """Module-level jit (stable identity): a per-call closure would
+    re-trace the whole one-hot/einsum graph on every glcm_matrix call —
+    retraces on this throttled host cost 30-250x the device compute."""
+    def one(img1, w1):
+        C, H, W = img1.shape
+        f32 = jnp.float32
+        vmax = jnp.max(jnp.where(w1 > 0, img1, -1), axis=(1, 2)).astype(jnp.int32)
+        row = jnp.take(lut, jnp.clip(vmax, 0, levels - 1), axis=0).astype(f32)
+        oh_raw = _one_hot(img1.reshape(C, -1), levels, f32)
+        resc = (
+            jnp.einsum(
+                "cpl,cl->cp", oh_raw, row, preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,  # row values can be > 256
+            )
+            .astype(jnp.int32)
+            .reshape(C, H, W)
+        )
+        planes = []
+        for dr, dc in offsets:
+            r0, r1 = max(0, -dr), H - max(0, dr)
+            c0, c1 = max(0, -dc), W - max(0, dc)
+            if r0 >= r1 or c0 >= c1:
+                planes.append(jnp.zeros((C, levels, levels), f32))
+                continue
+            left = resc[:, r0:r1, c0:c1].reshape(C, -1)
+            right = resc[
+                :, r0 + dr : r1 + dr, c0 + dc : c1 + dc
+            ].reshape(C, -1)
+            pw = (
+                w1[:, r0:r1, c0:c1]
+                * w1[:, r0 + dr : r1 + dr, c0 + dc : c1 + dc]
+            ).reshape(C, -1)
+            oh_l = _one_hot(left, levels, f32) * pw[..., None]
+            oh_r = _one_hot(right, levels, f32)
+            g = jnp.einsum(
+                "cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32
+            )
+            if symmetric:
+                g = g + jnp.swapaxes(g, -1, -2)
+            if normed:
+                s = jnp.sum(g, axis=(-1, -2), keepdims=True)
+                g = g / jnp.where(s == 0, 1.0, s)
+            planes.append(g)
+        return jnp.stack(planes)  # (O, C, L, L)
+
+    return jax.lax.map(lambda xw: one(xw[0], xw[1]), (img, w), batch_size=8)
