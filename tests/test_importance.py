@@ -155,3 +155,44 @@ def test_end_to_end_channel_ranking(rng):
                 config=ImportanceConfig(n_repeats=5),
             )
             assert res.top_channel() == 0, (kind, method, res.summary())
+
+
+def test_unseen_test_labels_agree_across_sweep_variants():
+    """r4 regression: test labels unseen at training time crashed the
+    unfused/sharded sweeps (KeyError) while the fused variant mapped them
+    to the -1 sentinel. All variants now share labels_to_class_idx and
+    must score such rows as mispredictions, not raise."""
+    import jax
+
+    from tpumcia.config import HeadConfig
+    from tpumcia.models import fit_head
+    from tpumcia.importance.permutation import (
+        labels_to_class_idx,
+        permutation_importance,
+    )
+    from tpumcia.parallel.mesh import make_mesh
+    from tpumcia.parallel.sharding import permutation_importance_sharded
+
+    rng = np.random.RandomState(0)
+    X_tr = rng.random((40, 6)).astype(np.float32)
+    y_tr = (X_tr[:, 0] > 0.5).astype(np.int64)  # classes {0, 1}
+    head = fit_head(X_tr, y_tr, config=HeadConfig(kind="logistic", num_steps=30))
+
+    X_te = rng.random((12, 6)).astype(np.float32)
+    y_te = (X_te[:, 0] > 0.5).astype(np.int64)
+    y_te[:3] = 7  # a class the head never saw
+
+    idx = labels_to_class_idx(y_te, head.classes)
+    assert (idx[:3] == -1).all() and (idx[3:] >= 0).all()
+
+    single = permutation_importance(head, X_te, y_te, n_repeats=2, seed=0)
+    sharded = permutation_importance_sharded(
+        head, X_te, y_te, mesh=make_mesh(), n_repeats=2, seed=0
+    )
+    # identical PRNG stream + identical sentinel scoring -> identical drops
+    np.testing.assert_allclose(
+        sharded.importances, single.importances, atol=1e-6
+    )
+    assert sharded.baseline_score == pytest.approx(single.baseline_score)
+    # baseline reflects the unpredictable rows as mispredictions
+    assert single.baseline_score <= 9 / 12 + 1e-6

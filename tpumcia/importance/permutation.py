@@ -28,6 +28,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def labels_to_class_idx(labels, classes) -> np.ndarray:
+    """Labels -> class indices with the unseen-label sentinel -1.
+
+    A test label never seen at training time cannot be predicted; argmax is
+    always in [0, k), so sentinel rows score as mispredictions — the same
+    semantics as comparing ``head.predict`` output against raw labels. All
+    three sweep variants (unfused / fused / sharded) share this mapping, so
+    they agree on inputs with train-unseen test classes instead of two of
+    them raising KeyError."""
+    mapping = {c: i for i, c in enumerate(np.asarray(classes).tolist())}
+    return np.array(
+        [mapping.get(v, -1) for v in np.asarray(labels).tolist()], np.int32
+    )
+
+
+def group_masks(groups, num_features: int) -> np.ndarray:
+    """(G, F) f32 joint-shuffle masks from per-group column lists
+    (``None`` -> identity = the per-feature sweep). Shared by the unfused,
+    fused, and sharded sweep variants."""
+    if groups is None:
+        return np.eye(num_features, dtype=np.float32)
+    masks = np.zeros((len(groups), num_features), np.float32)
+    for g, cols in enumerate(groups):
+        masks[g, cols] = 1.0
+    return masks
+
+
 @dataclass
 class PermutationResult:
     importances: np.ndarray  # (F, R) score drops
@@ -153,9 +180,7 @@ def _perm_sweep(X, y_idx, masks, key, apply_fn, *, n_repeats):
 
 def _run_sweep(head, X, y, masks, *, n_repeats, seed):
     apply_fn, classes = _device_score_parts(head)
-    y = np.asarray(y)
-    class_to_idx = {c: i for i, c in enumerate(classes)}
-    y_idx = jnp.asarray(np.array([class_to_idx[v] for v in y], dtype=np.int32))
+    y_idx = jnp.asarray(labels_to_class_idx(y, classes))
     X = jnp.asarray(X, jnp.float32)
     baseline, importances = _perm_sweep(
         X,
@@ -193,13 +218,7 @@ def permutation_importance(
     channel does).
     """
     X = X if isinstance(X, jax.Array) else np.asarray(X)  # keep device-resident
-    F = X.shape[1]
-    if groups is None:
-        masks = np.eye(F, dtype=np.float32)
-    else:
-        masks = np.zeros((len(groups), F), np.float32)
-        for g, cols in enumerate(groups):
-            masks[g, cols] = 1.0
+    masks = group_masks(groups, X.shape[1])
     return _run_sweep(head, X, y, masks, n_repeats=n_repeats, seed=seed)
 
 

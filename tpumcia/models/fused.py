@@ -142,21 +142,20 @@ def fit_logistic_with_importance(
     y_tr = labels[train_idx]
     classes, y_tr_idx = np.unique(y_tr, return_inverse=True)
     k = len(classes)
-    # test labels never seen in training can't be predicted: give them the
-    # sentinel index -1 (argmax is always in [0, k), so they score as
-    # mispredictions — same as the classic path's head.predict comparison;
-    # a plain searchsorted would silently alias them onto a real class)
-    y_te_idx = np.searchsorted(classes, labels[test_idx])
-    y_te_clip = np.clip(y_te_idx, 0, k - 1)
-    y_te_idx = np.where(
-        classes[y_te_clip] == labels[test_idx], y_te_clip, -1
+    # test labels never seen in training can't be predicted: the shared
+    # mapping gives them the sentinel index -1 (argmax is always in
+    # [0, k), so they score as mispredictions — same as the classic
+    # path's head.predict comparison)
+    from tpumcia.importance.permutation import (
+        group_masks as build_group_masks,
+        labels_to_class_idx,
     )
+
+    y_te_idx = labels_to_class_idx(labels[test_idx], classes)
     F = X.shape[1]
     C = len(groups)
 
-    group_masks = np.zeros((C, F), np.float32)
-    for g, cols in enumerate(groups):
-        group_masks[g, cols] = 1.0
+    group_masks = build_group_masks(groups, F)
 
     w0 = (
         jax.random.normal(jax.random.key(head_cfg.seed), (F, k), jnp.float32)

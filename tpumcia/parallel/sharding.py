@@ -450,9 +450,9 @@ def permutation_importance_sharded(
     )
 
     apply_fn, classes = _device_score_parts(head)
-    y = np.asarray(y)
-    cls_to_idx = {c: i for i, c in enumerate(classes)}
-    y_idx = jnp.asarray(np.array([cls_to_idx[v] for v in y], np.int32))
+    from tpumcia.importance.permutation import group_masks, labels_to_class_idx
+
+    y_idx = jnp.asarray(labels_to_class_idx(y, classes))
     # keep a host X on host until the placement decision: an eager jnp cast
     # here would commit it to one local device, which the multi-process
     # branch would then have to fetch back and re-upload (three link
@@ -464,40 +464,48 @@ def permutation_importance_sharded(
         X = np.asarray(X, np.float32)
     F = X.shape[1]
 
-    if groups is None:
-        masks = np.eye(F, dtype=np.float32)
-    else:
-        masks = np.zeros((len(groups), F), np.float32)
-        for g, cols in enumerate(groups):
-            masks[g, cols] = 1.0
+    masks = group_masks(groups, F)
     G = masks.shape[0]
     n_data = mesh.shape["data"]
-    masks_p, _ = _pad_to_multiple(jnp.asarray(masks), n_data)
-    keys = jax.random.split(jax.random.key(seed), masks_p.shape[0] * n_repeats)
-    keys = keys.reshape(masks_p.shape[0], n_repeats)
+    # pad on HOST: committing the masks to a local device first would force
+    # the multi-process branch to fetch them back through the link
+    Gp = -(-G // n_data) * n_data
+    masks_np = (
+        np.concatenate([masks, np.zeros((Gp - G, F), np.float32)])
+        if Gp > G
+        else masks
+    )
 
     if jax.process_count() > 1:
         # a cross-process jit rejects inputs committed to one local device:
-        # re-place the (identical-on-every-process) sweep inputs over the
-        # mesh — masks/keys data-sharded, X / labels / head replicated
+        # place the (identical-on-every-process) sweep inputs over the
+        # mesh — masks data-sharded straight from host, the key split
+        # computed ON the mesh from the scalar seed (no device->host->device
+        # round trip of the key array), X / labels / head replicated
         # (device inputs copied device-to-device, never through the host).
         # Single-process calls skip this entirely (no extra transfers).
         from jax.sharding import NamedSharding
 
         row = NamedSharding(mesh, P("data"))
-        masks_p = jax.device_put(np.asarray(masks_p), row)
-        keys = jax.device_put(np.asarray(jax.random.key_data(keys)), row)
-        keys = jax.jit(
-            jax.random.wrap_key_data, out_shardings=row
-        )(keys)
+        masks_p = jax.device_put(masks_np, row)
+        keys = _keys_jit(mesh, Gp, n_repeats)(seed)
         X = _replicate_over_mesh(X, mesh)
         y_idx = _replicate_over_mesh(y_idx, mesh)
         apply_fn = jax.tree.map(
             lambda l: _replicate_over_mesh(l, mesh), apply_fn
         )
+    else:
+        masks_p = jnp.asarray(masks_np)
+        keys = _split_keys(seed, num=Gp, n_repeats=n_repeats)
 
-    scores = _sharded_sweep_fn(mesh)(masks_p, keys, X, y_idx, apply_fn)[:G]
-    baseline = float(_accuracy_jit(apply_fn, X, y_idx))
+    # baseline comes out of the SAME sharded dispatch as the scores (a
+    # separate accuracy jit + scalar fetch would pay one more full link
+    # round trip per call)
+    baseline_dev, scores = _sharded_sweep_fn(mesh)(
+        masks_p, keys, X, y_idx, apply_fn
+    )
+    scores = scores[:G]
+    baseline = float(np.asarray(baseline_dev))
     imp = baseline - np.asarray(scores, np.float64)
     return PermutationResult(
         importances=imp,
@@ -507,10 +515,26 @@ def permutation_importance_sharded(
     )
 
 
-@jax.jit
-def _accuracy_jit(apply_fn, X, y_idx):
-    pred = jnp.argmax(apply_fn(X), axis=-1)
-    return jnp.mean((pred == y_idx).astype(jnp.float32))
+def _split_keys(seed, *, num, n_repeats):
+    """(num, n_repeats) key grid — the same ``split(key(seed), num * R)``
+    stream every sweep variant draws (PRNG equality pinned by tests)."""
+    return jax.random.split(
+        jax.random.key(seed), num * n_repeats
+    ).reshape(num, n_repeats)
+
+
+@functools.lru_cache(maxsize=32)
+def _keys_jit(mesh, num, n_repeats):
+    """Stable-identity jit computing the sweep key grid ON the cross-process
+    mesh from the scalar seed (row-sharded output): the keys never exist on
+    one local device, so nothing is fetched back through the link."""
+    from jax.sharding import NamedSharding
+
+    row = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        functools.partial(_split_keys, num=num, n_repeats=n_repeats),
+        out_shardings=row,
+    )
 
 
 @functools.lru_cache(maxsize=32)
@@ -534,7 +558,10 @@ def _sharded_sweep_fn(mesh):
 
             return jax.vmap(one_repeat)(kg)
 
-        return jax.lax.map(one_group, (masks_l, keys_l))
+        # baseline rides the same program (replicated inputs -> identical
+        # value on every shard); a separate dispatch would cost another
+        # full link round trip per sweep call
+        return accuracy(X), jax.lax.map(one_group, (masks_l, keys_l))
 
     def wrapped(masks_p, keys, X, y_idx, apply_fn):
         apply_specs = jax.tree.map(lambda _: P(), apply_fn)
@@ -542,7 +569,7 @@ def _sharded_sweep_fn(mesh):
             local,
             mesh=mesh,
             in_specs=(P("data"), P("data"), P(), P(), apply_specs),
-            out_specs=P("data"),
+            out_specs=(P(), P("data")),
         )
         return fn(masks_p, keys, X, y_idx, apply_fn)
 
