@@ -217,3 +217,44 @@ def test_device_forest_apply_fn_is_partial(blobs):
         np.asarray(fn(dev._prep(X))), np.asarray(dev.predict_proba(X)),
         atol=1e-6,
     )
+
+
+def test_threshold_f32_floor_preserves_sklearn_branching():
+    """r4 regression: a round-to-nearest f64->f32 threshold cast can land
+    ABOVE sklearn's threshold and flip (x <= thr) for samples exactly at
+    the split-adjacent training value; the floored cast is branch-exact
+    for every f32 input."""
+    from tpumcia.models.forest_device import _thr_f32_floor
+
+    b = np.float32(1.0)  # even mantissa: the midpoint tie rounds UP to b
+    a = np.nextafter(b, np.float32(0.0))
+    thr = (a.astype(np.float64) + b.astype(np.float64)) / 2.0
+    # this (a, b) pair makes the plain cast round UP to b
+    assert thr.astype(np.float32) == b
+    t32 = _thr_f32_floor(np.array([thr]))[0]
+    assert t32 <= thr
+    # the branch predicate matches f64 for both boundary samples
+    assert (a <= t32) == (a.astype(np.float64) <= thr)
+    assert (b <= t32) == (b.astype(np.float64) <= thr)
+    # -inf padding survives
+    assert _thr_f32_floor(np.array([-np.inf]))[0] == -np.inf
+
+
+def test_occlusion_probes_accept_unseen_test_labels():
+    """r4 regression: the occlusion probes crashed with KeyError on test
+    labels never seen at training time; the shared sentinel mapping scores
+    them as mispredictions instead."""
+    from tpumcia.importance.occlusion import channel_occlusion_importance
+    from tpumcia.models.train import CNNConfig, fit_cnn
+
+    rng = np.random.RandomState(0)
+    imgs = rng.random((8, 16, 16, 2)).astype(np.float32)
+    labels = (np.arange(8) % 2).astype(np.int64)
+    head = fit_cnn(
+        imgs, labels,
+        config=CNNConfig(num_classes=2, width=8, epochs=1, batch_size=8),
+    )
+    y_test = labels.copy()
+    y_test[:2] = 9  # unseen class
+    occ = channel_occlusion_importance(head, imgs, y_test)
+    assert occ.shape == (2,) and np.isfinite(occ).all()

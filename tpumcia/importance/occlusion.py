@@ -27,8 +27,16 @@ import numpy as np
 
 
 def _labels_to_idx(classes, y):
-    lookup = {c: i for i, c in enumerate(classes)}
-    return jnp.asarray(np.array([lookup[v] for v in np.asarray(y)], np.int32))
+    # shared sentinel mapping: labels unseen at training time become -1
+    # instead of KeyError, matching the feature-space sweep variants. In
+    # the accuracy probes (pred == y_idx) the sentinel scores as a
+    # misprediction; in occlusion_map's take_along_axis the -1 wraps to
+    # the last class, which is CONSISTENT between the base and occluded
+    # probabilities (the drop for such rows is near-zero signal, not a
+    # crash).
+    from tpumcia.importance.permutation import labels_to_class_idx
+
+    return jnp.asarray(labels_to_class_idx(y, classes))
 
 
 def _replicate_for(head, *arrays):

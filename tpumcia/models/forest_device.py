@@ -36,6 +36,19 @@ import numpy as np
 from tpumcia.models.scaler import MinMaxScaler
 
 
+def _thr_f32_floor(thr_f64: np.ndarray) -> np.ndarray:
+    """f64 split thresholds -> the LARGEST f32 <= threshold.
+
+    A plain f32 cast rounds to nearest and can land ABOVE sklearn's f64
+    threshold ((a+b)/2 of adjacent f32 feature values), flipping
+    ``x <= thr`` for a sample exactly at the adjacent training value. With
+    the floored cast, ``x <= t32`` == ``x <= thr_f64`` for EVERY f32 x, so
+    device descent takes sklearn's branch bit-for-bit."""
+    t32 = np.asarray(thr_f64).astype(np.float32)
+    up = t32.astype(np.float64) > np.asarray(thr_f64)
+    return np.where(up, np.nextafter(t32, np.float32(-np.inf)), t32)
+
+
 def _forest_proba_impl(X, feature, threshold, left, right, leaf_proba, depth):
     """X: (S, F); tree arrays: (T, N); leaf_proba: (T, N, K) -> (S, K).
     ``depth`` may be a traced scalar (dynamic fori bound) — leaves self-loop,
@@ -125,8 +138,11 @@ def _forest_proba_gemm_impl(X, g_feature, g_threshold, A, target, g_leaf_proba):
             "stn,tln->tsl", cmp, a.astype(f32), preferred_element_type=f32,
         )
         reached = (s.astype(jnp.int32) == tgt[:, None, :]).astype(f32)
+        # HIGHEST: leaf probabilities are arbitrary f32 fractions —
+        # DEFAULT MXU precision would truncate them to 8 mantissa bits
         return jnp.einsum(
-            "tsl,tlk->sk", reached, lp, preferred_element_type=f32
+            "tsl,tlk->sk", reached, lp, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     probas = jax.lax.map(one_block, (fb, tb, Ab, gb, pb))  # (nb, S, K)
@@ -165,7 +181,7 @@ def _gemm_arrays(trees, K):
     for t, (tree, internal, leaves) in enumerate(per_tree):
         node_to_int = {int(n): i for i, n in enumerate(internal)}
         g_feature[t, : len(internal)] = tree.feature[internal]
-        g_threshold[t, : len(internal)] = tree.threshold[internal]
+        g_threshold[t, : len(internal)] = _thr_f32_floor(tree.threshold[internal])
         vals = tree.value[:, 0, :]
         sums = vals.sum(axis=1, keepdims=True)
         sums[sums == 0] = 1
@@ -230,7 +246,7 @@ class DeviceForest:
             f = tree.feature.astype(np.int32)  # -2 at leaves in sklearn
             leaf = f < 0
             feature[t, :n] = np.where(leaf, -1, f)
-            threshold[t, :n] = tree.threshold.astype(np.float32)
+            threshold[t, :n] = _thr_f32_floor(tree.threshold)
             idx = np.arange(n, dtype=np.int32)
             left[t, :n] = np.where(leaf, idx, tree.children_left.astype(np.int32))
             right[t, :n] = np.where(leaf, idx, tree.children_right.astype(np.int32))
@@ -272,7 +288,9 @@ class DeviceForest:
         return self.scaler.transform(X) if self.scaler is not None else X
 
     def predict_proba(self, X) -> jax.Array:
-        return self.apply_fn()(self._prep(X))
+        # one jitted dispatch (the eager graph was a dispatch storm through
+        # the remote link: pad/reshape/map/sum each enqueued separately)
+        return _forest_apply_jit(self.apply_fn(), self._prep(X))
 
     def predict(self, X) -> np.ndarray:
         idx = np.asarray(jnp.argmax(self.predict_proba(X), axis=-1))
@@ -280,3 +298,10 @@ class DeviceForest:
 
     def score(self, X, y) -> float:
         return float(np.mean(self.predict(X) == np.asarray(y)))
+
+
+@jax.jit
+def _forest_apply_jit(apply_fn, X):
+    """Stable-identity jit over the forest's ``Partial`` apply function
+    (caches per pytree structure, like every sweep path)."""
+    return apply_fn(X)
