@@ -384,3 +384,107 @@ def test_stream_extract_rejects_inconsistent_process_topology(tmp_path):
             fetch, len(images), tmp_path / "c", config=cfg,
             process_index=0, process_count=2, mesh=make_mesh(),
         )
+
+
+def test_h5_stream_uint8_quantize_and_mixed_mask_guard(tmp_path, rng):
+    """r4 regressions: (a) uint8 h5 sources must be quantized to the target
+    level count like uint16 ones (raw 0..255 values silently corrupted
+    < 256-level configs); (b) collections mixing masked and mask-less
+    objects must raise, not silently mix feature semantics."""
+    from tpumcia.io.h5 import h5_stream_source, write_object
+
+    d = tmp_path / "u8"
+    d.mkdir()
+    for i in range(4):
+        img = (rng.random((12, 12, 2)) * 255).astype(np.uint8)
+        write_object(d / f"{i}.h5", img, label="x")
+    src = h5_stream_source(d, quantize_levels=64)
+    images, masks, labels = src.fetch(np.arange(4))
+    assert images.max() < 64, images.max()
+
+    m = tmp_path / "mixed"
+    m.mkdir()
+    for i in range(4):
+        img = (rng.random((12, 12, 2)) * 255).astype(np.uint8)
+        msk = (rng.random((12, 12, 2)) > 0.5).astype(np.uint8) if i < 2 else None
+        write_object(m / f"{i}.h5", img, mask=msk, label="x")
+    src2 = h5_stream_source(m)
+    with pytest.raises(ValueError, match="mix"):
+        src2.fetch(np.arange(4))
+
+    with pytest.raises(ValueError, match="no h5 object files"):
+        h5_stream_source([])
+
+
+def test_h5_stream_channel_names_reach_feature_columns(h5_objects, tmp_path):
+    """The h5 contract's 'channels' key (README.md:13) must name the
+    streamed feature columns, matching the non-streaming load_objects path."""
+    from tpumcia.pipeline.streaming import stream_extract_h5
+    from tpumcia.config import FeatureConfig
+
+    paths, _tmp = h5_objects
+    res = stream_extract_h5(
+        paths, tmp_path / "feat", shard_size=4,
+        config=FeatureConfig(use_pallas="never"),
+    )
+    assert any("BF" in n for n in res.features.names), res.features.names[:3]
+
+
+def test_prefetch_loader_early_stop_releases_workers():
+    """r4 regression: breaking out of a PrefetchLoader iteration left the
+    worker threads blocked forever on the bounded queue (holding decoded
+    batches); cancellation must let them drain."""
+    import threading
+    import time
+
+    from tpumcia.io.loader import PrefetchLoader
+
+    before = threading.active_count()
+
+    def fetch(idx):
+        return np.zeros((len(idx), 4), np.float32)
+
+    for _ in range(5):
+        it = iter(PrefetchLoader(fetch, 1000, 10, depth=2))
+        next(it)
+        it.close()  # consumer stops early
+
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1, threading.active_count()
+
+
+def test_stratified_split_keeps_tiny_classes_in_train():
+    """r4 regression: a 1-2 sample class could be assigned entirely to the
+    test split, so training never saw the class at all."""
+    from tpumcia.utils.split import train_test_split_indices
+
+    y = np.array([0] * 10 + [1] * 2 + [2] * 1)
+    s = train_test_split_indices(len(y), test_size=0.5, seed=0, stratify=y)
+    for cls in (0, 1, 2):
+        assert (y[s.train_idx] == cls).sum() >= 1, cls
+
+
+def test_head_checkpoint_round_trips_config(tmp_path):
+    """r4 regression: logistic/MLP npz checkpoints dropped the HeadConfig
+    (load silently substituted defaults); the forest head kept its config —
+    the three families must round-trip symmetrically."""
+    from tpumcia.config import HeadConfig
+    from tpumcia.models.heads import LogisticHead, MLPHead
+    from tpumcia.models import fit_head
+
+    rng = np.random.RandomState(0)
+    X = rng.random((30, 5)).astype(np.float32)
+    y = (X[:, 0] > 0.5).astype(np.int64)
+
+    cfg = HeadConfig(kind="mlp", hidden=(8,), num_steps=40, learning_rate=0.02)
+    head = fit_head(X, y, config=cfg)
+    head.save(tmp_path / "mlp.npz")
+    loaded = MLPHead.load(tmp_path / "mlp.npz")
+    assert loaded.config == cfg
+
+    cfg2 = HeadConfig(kind="logistic", num_steps=33, l2=0.01)
+    head2 = fit_head(X, y, config=cfg2)
+    head2.save(tmp_path / "log.npz")
+    assert LogisticHead.load(tmp_path / "log.npz").config == cfg2

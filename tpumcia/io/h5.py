@@ -138,6 +138,10 @@ class H5StreamSource:
     quantize_levels: int | None = None
     decode_threads: int = 4
     channels: list[str] | None = None
+    # set by the first fetch; later batches must agree (a collection mixing
+    # masked and mask-less objects would silently mix feature semantics
+    # across shards)
+    expect_mask: bool | None = None
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -157,14 +161,39 @@ class H5StreamSource:
         images = pack_objects(
             [np.ascontiguousarray(o["image"]) for o in objs], self.target_hw
         )
-        if self.quantize_levels and images.dtype == np.uint16:
-            images = quantize_u16(images, levels=self.quantize_levels)
+        if self.quantize_levels:
+            if images.dtype == np.uint16:
+                images = quantize_u16(images, levels=self.quantize_levels)
+            elif images.dtype == np.uint8 and self.quantize_levels < 256:
+                # same floor semantics as quantize_u16, over the u8 range:
+                # without this, uint8 sources would silently feed raw
+                # 0..255 values into a < 256-level feature config
+                images = (
+                    (images.astype(np.uint32) * self.quantize_levels) >> 8
+                ).astype(np.uint8)
 
+        has_mask = [o["mask"] is not None for o in objs]
         masks = None
-        if all(o["mask"] is not None for o in objs):
+        if all(has_mask) and objs:
             masks = pack_objects(
                 [np.ascontiguousarray(o["mask"]).astype(np.uint8) for o in objs],
                 self.target_hw,
+            )
+        elif any(has_mask):
+            raise ValueError(
+                f"h5 batch mixes masked and mask-less objects "
+                f"({sum(has_mask)}/{len(has_mask)} have masks) — masked and "
+                "unmasked features have different semantics; add masks to "
+                "all objects or none"
+            )
+        batch_masked = masks is not None
+        if self.expect_mask is None:
+            self.expect_mask = batch_masked
+        elif self.expect_mask != batch_masked:
+            raise ValueError(
+                "h5 collection mixes masked and mask-less objects across "
+                "batches — shard features would silently mix masked and "
+                "unmasked semantics"
             )
         labels = None
         if all(o["label"] is not None for o in objs):
@@ -198,6 +227,8 @@ def h5_stream_source(
         paths = [Path(p) for p in source]
     if limit is not None:
         paths = paths[:limit]
+    if not paths:
+        raise ValueError(f"no h5 object files found in {source!r}")
 
     channels = None
     if target_hw is None:

@@ -66,18 +66,36 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self._depth)
         stop = object()
+        # set when the consumer stops early (break / downstream error /
+        # generator GC): without it, workers would block forever on a full
+        # queue holding decoded multi-MB batches, and the fetch thread
+        # would keep decoding the rest of the collection
+        cancelled = threading.Event()
+
+        def safe_put(sink, item) -> bool:
+            while not cancelled.is_set():
+                try:
+                    sink.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def pump(source, sink, work):
             try:
                 for kind, item in source():
-                    if kind != "ok":
-                        sink.put((kind, item))
+                    if cancelled.is_set():
                         return
-                    sink.put(("ok", work(item)))
+                    if kind != "ok":
+                        safe_put(sink, (kind, item))
+                        return
+                    out = work(item)
+                    if not safe_put(sink, ("ok", out)):
+                        return
             except BaseException as e:  # surface worker errors downstream
-                sink.put(("err", e))
+                safe_put(sink, ("err", e))
             finally:
-                sink.put(("end", stop))
+                safe_put(sink, ("end", stop))
 
         def chunk_source():
             for idx in self._chunks:
@@ -96,7 +114,12 @@ class PrefetchLoader:
 
             def mid_source():
                 while True:
-                    kind, item = mid.get()
+                    try:
+                        kind, item = mid.get(timeout=0.2)
+                    except queue.Empty:
+                        if cancelled.is_set():
+                            return
+                        continue
                     if kind == "end":
                         return
                     yield (kind, item)
@@ -115,10 +138,13 @@ class PrefetchLoader:
             )
         for t in threads:
             t.start()
-        while True:
-            kind, item = q.get()
-            if kind == "err":
-                raise item
-            if kind == "end":
-                break
-            yield item
+        try:
+            while True:
+                kind, item = q.get()
+                if kind == "err":
+                    raise item
+                if kind == "end":
+                    break
+                yield item
+        finally:
+            cancelled.set()  # normal completion: no-op; early exit: unblock

@@ -100,11 +100,24 @@ def pack_objects(
         )
         return out
 
-    # numpy fallback
-    from tpumcia.preprocess.normalize import center_crop_or_pad
-
+    # PURE-numpy fallback: the jax center_crop_or_pad would issue one
+    # device dispatch (and a fresh compile) per unique (h, w) object shape
+    # through the link — a host-side pack must never touch the backend
     for i, a in enumerate(arrays):
-        out[i] = np.asarray(center_crop_or_pad(a[None], (H, W)))[0]
+        h, w = a.shape[0], a.shape[1]
+        # centered crop (same floor-division offsets as the C++ kernel and
+        # preprocess.center_crop_or_pad)
+        if h > H:
+            top = (h - H) // 2
+            a = a[top : top + H]
+        if w > W:
+            left = (w - W) // 2
+            a = a[:, left : left + W]
+        h2, w2 = a.shape[0], a.shape[1]
+        pt = (H - h2) // 2
+        pl = (W - w2) // 2
+        out[i] = 0
+        out[i, pt : pt + h2, pl : pl + w2] = a
     return out
 
 

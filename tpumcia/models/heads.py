@@ -65,6 +65,27 @@ def logistic_predict_logits(params, X):
     return jnp.asarray(X) @ params["w"] + params["b"]
 
 
+def _config_to_npz(cfg: HeadConfig) -> np.ndarray:
+    """HeadConfig as a JSON scalar for npz checkpoints (allow_pickle=False
+    safe) — without it, load() silently substituted default hyperparameters
+    while the forest head's joblib checkpoint kept its config."""
+    import dataclasses
+    import json
+
+    return np.asarray(json.dumps(dataclasses.asdict(cfg)))
+
+
+def _config_from_npz(z) -> HeadConfig:
+    import json
+
+    if "config_json" not in z:
+        return HeadConfig()  # pre-r4 checkpoint
+    d = json.loads(str(z["config_json"]))
+    if "hidden" in d and isinstance(d["hidden"], list):
+        d["hidden"] = tuple(d["hidden"])
+    return HeadConfig(**d)
+
+
 @dataclass
 class LogisticHead:
     params: dict[str, jax.Array]
@@ -99,6 +120,7 @@ class LogisticHead:
             "b": np.asarray(self.params["b"]),
             "classes": np.asarray(self.classes),
         }
+        payload["config_json"] = _config_to_npz(self.config)
         if self.scaler is not None:
             payload["scaler_min"] = np.asarray(self.scaler.data_min)
             payload["scaler_max"] = np.asarray(self.scaler.data_max)
@@ -114,6 +136,7 @@ class LogisticHead:
                 params={"w": jnp.asarray(z["w"]), "b": jnp.asarray(z["b"])},
                 classes=z["classes"],
                 scaler=scaler,
+                config=_config_from_npz(z),
             )
 
     def coefficient_importance(self) -> np.ndarray:
@@ -237,6 +260,7 @@ class MLPHead:
         for i, layer in enumerate(self.params["hidden"]):
             payload[f"hidden{i}_w"] = np.asarray(layer["w"])
             payload[f"hidden{i}_b"] = np.asarray(layer["b"])
+        payload["config_json"] = _config_to_npz(self.config)
         if self.scaler is not None:
             payload["scaler_min"] = np.asarray(self.scaler.data_min)
             payload["scaler_max"] = np.asarray(self.scaler.data_max)
@@ -265,6 +289,7 @@ class MLPHead:
                 },
                 classes=z["classes"],
                 scaler=scaler,
+                config=_config_from_npz(z),
             )
 
     @classmethod

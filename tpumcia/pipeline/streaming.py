@@ -96,6 +96,7 @@ def stream_extract(
     stage_on_device: bool = True,
     process_index: int | None = None,
     process_count: int | None = None,
+    channel_names: list[str] | None = None,
 ) -> StreamResult:
     """Extract features over ``n`` objects in resumable shards.
 
@@ -375,7 +376,7 @@ def stream_extract(
         if prev is not None:
             finish(prev)
         if num_channels is not None:
-            names = _config_feature_names(cfg, num_channels)
+            names = _config_feature_names(cfg, num_channels, channel_names)
     else:
         for start, stop in pending:
             if first_batch is not None:
@@ -402,7 +403,10 @@ def stream_extract(
                     ),
                 )
             else:
-                fm = extract_features(images, mask=mask, config=cfg)
+                fm = extract_features(
+                    images, mask=mask, config=cfg,
+                    channel_names=channel_names,
+                )
             names = fm.names
             t_save = time.perf_counter()
             profile["device_s"] += t_save - t_dev
@@ -434,7 +438,7 @@ def stream_extract(
                 with np.load(out_dir / any_entry["file"]) as z:
                     nc = int(z["degenerate"].shape[1])
         if nc is not None:
-            names = _config_feature_names(cfg, nc)
+            names = _config_feature_names(cfg, nc, channel_names)
     fm, labels = load_feature_shards(out_dir, names=names)
     rate = computed_imgs / elapsed if elapsed > 0 and computed else 0.0
     profile = {k: round(v, 3) for k, v in profile.items()}
@@ -452,7 +456,9 @@ def stream_extract(
     )
 
 
-def _config_feature_names(cfg: FeatureConfig, num_channels: int) -> list[str]:
+def _config_feature_names(
+    cfg: FeatureConfig, num_channels: int, channel_names=None
+) -> list[str]:
     """Mirror ``extract_features``' column-name construction so shard
     artifacts carry identical columns whichever branch (or process)
     produced them."""
@@ -460,12 +466,13 @@ def _config_feature_names(cfg: FeatureConfig, num_channels: int) -> list[str]:
         num_channels,
         include_intensity=cfg.include_intensity,
         include_glcm=cfg.include_glcm,
+        channel_names=channel_names,
         glcm_pair_labels=cfg.glcm.pair_labels,
     )
     if cfg.include_morphology:
         from tpumcia.features.morphology import morphology_feature_names
 
-        names = names + morphology_feature_names(num_channels, None)
+        names = names + morphology_feature_names(num_channels, channel_names)
     return names
 
 
@@ -512,6 +519,8 @@ def stream_extract_h5(
         prefetch_depth=prefetch_depth,
         process_index=process_index,
         process_count=process_count,
+        # the h5 contract's 'channels' key (README.md:13) names the columns
+        channel_names=src.channels,
     )
 
 

@@ -55,7 +55,12 @@ def train_test_split_indices(
         train_parts, test_parts = [], []
         for cls in np.unique(stratify):
             cls_idx = rng.permutation(np.flatnonzero(stratify == cls))
+            # cap below the class size: a tiny class must keep at least one
+            # TRAIN sample, or the head never sees the class at all (the
+            # unstratified branch has the same n-1 cap); a 1-sample class
+            # goes entirely to train
             n_test = max(1, int(round(test_size * len(cls_idx))))
+            n_test = min(n_test, len(cls_idx) - 1)
             test_parts.append(cls_idx[:n_test])
             train_parts.append(cls_idx[n_test:])
         return Split(
