@@ -384,3 +384,52 @@ def test_noise_channels_chw_bit_identical():
         np.asarray(chw),
         np.transpose(np.asarray(hwc), (0, 3, 1, 2)).astype(np.int32),
     )
+
+
+def test_feature_matrix_save_load_round_trips_config():
+    """r4 regression: save/load dropped config + channel_names, so a loaded
+    multi-offset matrix misgrouped channel_columns() and the importance
+    sweep silently permuted only a subset of each channel's columns."""
+    import tempfile
+    from pathlib import Path
+
+    from tpumcia.config import FeatureConfig, GLCMConfig
+    from tpumcia.features.extract import FeatureMatrix, extract_features
+
+    rng = np.random.RandomState(0)
+    imgs = (rng.random((3, 16, 16, 2)) * 256).astype(np.uint8)
+    cfg = FeatureConfig(
+        glcm=GLCMConfig(distance=(3, 5), angle=0.0), use_pallas="never"
+    )
+    fm = extract_features(imgs, config=cfg, channel_names=["BF", "GFP"])
+    p = Path(tempfile.mkdtemp()) / "fm.npz"
+    fm.save(p)
+    fm2 = FeatureMatrix.load(p)
+    assert fm2.config == cfg
+    assert fm2.channel_names == ["BF", "GFP"]
+    assert [list(c) for c in fm2.channel_columns()] == [
+        list(c) for c in fm.channel_columns()
+    ]
+
+
+def test_run_pipeline_rejects_groupby_without_groups_and_synth_with_mask():
+    """r4 regressions: group_by without groups silently leaked donors
+    across the split; synth+mask silently masked the synthesized noise
+    channels on the classic path while the fused path forbids it."""
+    from tpumcia.config import PipelineConfig, SplitConfig, SynthConfig
+    from tpumcia.io.synthetic import synthetic_mednist, synthetic_multichannel
+    from tpumcia.pipeline.run import run_pipeline
+
+    images, labels, _ = synthetic_multichannel(3, num_classes=2, seed=0)
+    with pytest.raises(ValueError, match="group_by"):
+        run_pipeline(
+            images, labels,
+            config=PipelineConfig(split=SplitConfig(group_by="donor")),
+        )
+    gray, glabels, _ = synthetic_mednist(3, num_classes=2, seed=0)
+    with pytest.raises(ValueError, match="mask"):
+        run_pipeline(
+            gray, glabels,
+            mask=np.ones(gray.shape, np.uint8),
+            config=PipelineConfig(synth=SynthConfig(noise_channels=2)),
+        )

@@ -189,36 +189,7 @@ class PipelineConfig:
 
     @classmethod
     def from_dict(cls, data: dict[str, Any]) -> "PipelineConfig":
-        def build(tp, d, path="config"):
-            if not dataclasses.is_dataclass(tp):
-                return d
-            known = {f.name for f in dataclasses.fields(tp)}
-            unknown = set(d) - known
-            if unknown:
-                raise ValueError(
-                    f"unknown {path} key(s) {sorted(unknown)}; "
-                    f"valid keys: {sorted(known)}"
-                )
-            kwargs = {}
-            for f in dataclasses.fields(tp):
-                if f.name in d:
-                    val = d[f.name]
-                    if isinstance(val, dict):
-                        sub_tp = _SUBTYPES.get(f.name)
-                        kwargs[f.name] = (
-                            build(sub_tp, val, f"{path}.{f.name}")
-                            if sub_tp
-                            else val
-                        )
-                    elif isinstance(val, list):
-                        # JSON has no tuples; all sequence-valued config
-                        # fields are tuples (hidden, distances, angles)
-                        kwargs[f.name] = tuple(val)
-                    else:
-                        kwargs[f.name] = val
-            return tp(**kwargs)
-
-        return build(cls, data)
+        return build_config(cls, data)
 
     @classmethod
     def from_json(cls, path: str | Path) -> "PipelineConfig":
@@ -234,3 +205,36 @@ _SUBTYPES = {
     "glcm": GLCMConfig,
     "synth": SynthConfig,
 }
+
+
+def build_config(tp, data: dict[str, Any], path: str = "config"):
+    """Reconstruct a config dataclass (and nested sub-configs) from a plain
+    dict — the shared machinery behind ``PipelineConfig.from_dict`` and the
+    ``FeatureMatrix``/head checkpoint round-trips. Rejects unknown keys;
+    JSON lists become tuples (all sequence-valued config fields are
+    tuples)."""
+    if not dataclasses.is_dataclass(tp):
+        return data
+    known = {f.name for f in dataclasses.fields(tp)}
+    unknown = set(data) - known
+    if unknown:
+        raise ValueError(
+            f"unknown {path} key(s) {sorted(unknown)}; "
+            f"valid keys: {sorted(known)}"
+        )
+    kwargs = {}
+    for f in dataclasses.fields(tp):
+        if f.name in data:
+            val = data[f.name]
+            if isinstance(val, dict):
+                sub_tp = _SUBTYPES.get(f.name)
+                kwargs[f.name] = (
+                    build_config(sub_tp, val, f"{path}.{f.name}")
+                    if sub_tp
+                    else val
+                )
+            elif isinstance(val, list):
+                kwargs[f.name] = tuple(val)
+            else:
+                kwargs[f.name] = val
+    return tp(**kwargs)

@@ -50,14 +50,29 @@ def _load_data(args, cfg):
         files = idx.files[: args.limit] if args.limit else idx.files
         labels = idx.labels[: len(files)]
         gray = load_images(files)
+        named = np.asarray(idx.class_names)[labels]
+        if cfg.synth.noise_channels > 0:
+            # config-driven synthesis: hand run_pipeline the grayscale
+            # batch so the seeded noise channels are synthesized on device
+            # per cfg.synth (fused into extraction on the fast path) —
+            # eagerly pre-building channels here both ignored cfg.synth
+            # and made any synth-enabled config crash on 4D input
+            return np.asarray(gray), named, None, None, None
         images = np.asarray(
             add_noise_channels(gray, jax.random.key(cfg.seed))
         )
-        return images, np.asarray(idx.class_names)[labels], None, None, None
+        return images, named, None, None, None
 
     # synthetic demo
-    from tpumcia.io.synthetic import synthetic_multichannel
+    from tpumcia.io.synthetic import synthetic_mednist, synthetic_multichannel
 
+    if cfg.synth.noise_channels > 0:
+        # grayscale demo set; run_pipeline synthesizes the noise channels
+        # on device per cfg.synth (same routing as the folder source)
+        gray, labels, class_names = synthetic_mednist(
+            args.n_per_class, seed=cfg.seed
+        )
+        return np.asarray(gray), np.asarray(class_names)[labels], None, None, None
     images, labels, class_names = synthetic_multichannel(
         args.n_per_class, seed=cfg.seed
     )

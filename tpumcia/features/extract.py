@@ -76,11 +76,16 @@ class FeatureMatrix:
         return fetch_to_host(self.values)
 
     def save(self, path) -> None:
-        """Persist to .npz (values + names + flags)."""
+        """Persist to .npz (values + names + flags + config + channel
+        names — without the config, a loaded multi-offset/morphology
+        matrix would misgroup ``channel_columns()`` and silently
+        under-permute every channel in the importance sweeps)."""
+        import dataclasses
+        import json
+
         from tpumcia.features.finalize import fetch_to_host
 
-        np.savez_compressed(
-            path,
+        payload = dict(
             values=self.to_numpy(),
             names=np.array(self.names),
             num_channels=self.num_channels,
@@ -89,16 +94,35 @@ class FeatureMatrix:
                 if self.degenerate is not None
                 else np.zeros((len(self), self.num_channels), bool)
             ),
+            config_json=np.asarray(json.dumps(dataclasses.asdict(self.config))),
         )
+        if self.channel_names is not None:
+            payload["channel_names"] = np.array(self.channel_names)
+        np.savez_compressed(path, **payload)
 
     @classmethod
     def load(cls, path) -> "FeatureMatrix":
+        import json
+
+        from tpumcia.config import build_config
+
         with np.load(path, allow_pickle=False) as z:
+            cfg = (
+                build_config(FeatureConfig, json.loads(str(z["config_json"])))
+                if "config_json" in z
+                else FeatureConfig()  # pre-r4 checkpoint
+            )
             return cls(
                 values=z["values"],
                 names=[str(n) for n in z["names"]],
                 num_channels=int(z["num_channels"]),
                 degenerate=z["degenerate"],
+                config=cfg,
+                channel_names=(
+                    [str(c) for c in z["channel_names"]]
+                    if "channel_names" in z
+                    else None
+                ),
             )
 
 

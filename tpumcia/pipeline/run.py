@@ -172,6 +172,26 @@ def run_pipeline(
     timings: dict[str, float] = {}
     mesh = mesh_from_config(cfg.mesh)
 
+    if cfg.split.group_by and groups is None:
+        # silently degrading to an ungrouped split would leak groups
+        # (donors) across train/test and report optimistically-biased
+        # accuracy with no sign anything went wrong
+        raise ValueError(
+            f"split.group_by={cfg.split.group_by!r} but no groups were "
+            "provided (h5 objects without that metadata key?) — pass "
+            "groups= or clear split.group_by"
+        )
+    if cfg.synth.noise_channels > 0 and mask is not None:
+        # the fused path forbids this combination outright; the classic
+        # path would silently mask the synthesized noise channels too,
+        # giving the same dataset different noise features depending on
+        # whether a mask was passed
+        raise ValueError(
+            "synth.noise_channels does not compose with masks: noise "
+            "channels are synthesized full-frame (the reference's "
+            "add_two_noise_channels has no mask concept, ipynb:148-156)"
+        )
+
     images_arr = images if hasattr(images, "shape") else np.asarray(images)
     if _fast_path_ok(cfg, images_arr, mask, mesh):
         return _run_pipeline_fast(
