@@ -145,3 +145,17 @@ def test_run_cnn_pipeline(tiny_dataset):
     # channel 1 carries the class signal
     assert res.occlusion.top_channel() == 0
     assert "precision" in res.report
+
+
+def test_resnet_arbitrary_width_initializes():
+    """r4 regression: GroupNorm num_groups=min(32, width) crashed init for
+    widths like 48 (not divisible by 32); the divisor is now adapted."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpumcia.models.cnn import make_resnet
+
+    model = make_resnet(4, width=48, depth="10")
+    params = model.init(jax.random.key(0), jnp.zeros((2, 32, 32, 3)))
+    out = model.apply(params, jnp.zeros((2, 32, 32, 3)))
+    assert out.shape == (2, 4)

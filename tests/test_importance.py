@@ -196,3 +196,33 @@ def test_unseen_test_labels_agree_across_sweep_variants():
     assert sharded.baseline_score == pytest.approx(single.baseline_score)
     # baseline reflects the unpredictable rows as mispredictions
     assert single.baseline_score <= 9 / 12 + 1e-6
+
+
+def test_report_and_scaler_edge_semantics():
+    """r4 regressions: classification_report must raise on a target_names
+    length mismatch (sklearn parity; zip silently dropped class rows);
+    MinMaxScaler.fit ignores NaNs like sklearn; single-pixel masks get
+    regionprops' eccentricity 0."""
+    import jax.numpy as jnp
+
+    from tpumcia.models.scaler import MinMaxScaler
+    from tpumcia.utils.metrics import classification_report
+    from tpumcia.features.morphology import morphology_features
+
+    y = np.array([0, 0, 1, 1, 2])
+    with pytest.raises(ValueError, match="target_names"):
+        classification_report(y, y, target_names=["a", "b"])
+
+    X = np.array([[1.0, np.nan], [3.0, 2.0], [2.0, 4.0]], np.float32)
+    sc = MinMaxScaler.fit(X)
+    np.testing.assert_allclose(np.asarray(sc.data_min), [1.0, 2.0])
+    np.testing.assert_allclose(np.asarray(sc.data_max), [3.0, 4.0])
+
+    mask = np.zeros((1, 8, 8, 1), np.uint8)
+    mask[0, 3, 4, 0] = 1  # single pixel
+    feats = np.asarray(morphology_features(mask))  # (1, 1, 8)
+    from tpumcia.features.morphology import morphology_feature_names
+
+    names = morphology_feature_names(1, None)
+    ecc_i = [i for i, n in enumerate(names) if "ecc" in n][0]
+    assert feats[0, 0, ecc_i] == 0.0, feats[0, 0]

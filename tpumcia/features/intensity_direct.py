@@ -84,9 +84,7 @@ def intensity_features_direct(images, mask=None):
          (s[..., 1:] != s[..., :-1]) & is_valid[..., 1:]],
         axis=-1,
     )
-    grp = jnp.cumsum(newgrp, axis=-1) - 1  # run id per position (valid region)
-    # count per run via segment trick: counts[r] = sum(grp == r) — bounded by
-    # n_pix runs; use one-hot-free approach: position of run starts
+    # run lengths via run-start positions (no per-run segment ids needed)
     idx = jnp.arange(n_pix)[None, None, :]
     start_pos = jnp.where(newgrp, idx, n_pix)  # (B, C, P)
     starts_sorted = jnp.sort(start_pos, axis=-1)

@@ -69,7 +69,14 @@ def morphology_features(mask) -> jax.Array:
     l2 = jnp.clip(l2, 0.0, None)
     major = 4.0 * jnp.sqrt(jnp.maximum(l1, 0.0))
     minor = 4.0 * jnp.sqrt(l2)
-    ecc = jnp.sqrt(jnp.clip(1.0 - l2 / jnp.maximum(l1, 1e-12), 0.0, 1.0))
+    # regionprops convention: a single-pixel region (l1 == 0) is
+    # maximally round -> eccentricity 0, not the 1 the raw formula's
+    # epsilon floor would produce
+    ecc = jnp.where(
+        l1 <= 0.0,
+        0.0,
+        jnp.sqrt(jnp.clip(1.0 - l2 / jnp.maximum(l1, 1e-12), 0.0, 1.0)),
+    )
     orientation = 0.5 * jnp.arctan2(2.0 * mu11, mu20 - mu02)
 
     # bounding-box extent

@@ -22,6 +22,15 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def _num_groups(features: int) -> int:
+    """Largest group count <= 32 dividing ``features`` (flax GroupNorm
+    requires divisibility; min(32, f) crashed init for widths like 48)."""
+    g = min(32, features)
+    while features % g:
+        g -= 1
+    return g
+
+
 class ResidualBlock(nn.Module):
     features: int
     strides: int = 1
@@ -34,19 +43,19 @@ class ResidualBlock(nn.Module):
             self.features, (3, 3), strides=(self.strides, self.strides),
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        y = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(y)
+        y = nn.GroupNorm(num_groups=_num_groups(self.features), dtype=self.dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.features, (3, 3), use_bias=False, dtype=self.dtype, name="conv2"
         )(y)
-        y = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(y)
+        y = nn.GroupNorm(num_groups=_num_groups(self.features), dtype=self.dtype)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(
                 self.features, (1, 1), strides=(self.strides, self.strides),
                 use_bias=False, dtype=self.dtype, name="proj",
             )(residual)
             residual = nn.GroupNorm(
-                num_groups=min(32, self.features), dtype=self.dtype
+                num_groups=_num_groups(self.features), dtype=self.dtype
             )(residual)
         return nn.relu(y + residual)
 
@@ -65,7 +74,7 @@ class ResNet(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(self.width, (3, 3), use_bias=False, dtype=self.dtype,
                     name="stem")(x)
-        x = nn.GroupNorm(num_groups=min(32, self.width), dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=_num_groups(self.width), dtype=self.dtype)(x)
         x = nn.relu(x)
         for stage, num_blocks in enumerate(self.stage_sizes):
             features = self.width * (2**stage)

@@ -23,8 +23,13 @@ class MinMaxScaler:
 
     @classmethod
     def fit(cls, X) -> "MinMaxScaler":
+        # nanmin/nanmax: sklearn's MinMaxScaler ignores NaNs during fit
+        # (a single degenerate NaN feature value would otherwise NaN the
+        # whole column's scale for every sample)
         X = jnp.asarray(X)
-        return cls(data_min=jnp.min(X, axis=0), data_max=jnp.max(X, axis=0))
+        return cls(
+            data_min=jnp.nanmin(X, axis=0), data_max=jnp.nanmax(X, axis=0)
+        )
 
     @classmethod
     def from_stats(cls, data_min, data_max) -> "MinMaxScaler":

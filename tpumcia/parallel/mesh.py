@@ -18,6 +18,10 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if model <= 0:
         raise ValueError("model axis size must be >= 1")
+    if data <= 0 and data != -1:
+        raise ValueError(
+            f"data axis size must be >= 1 (or -1 for 'all remaining'), got {data}"
+        )
     if data == -1:
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
@@ -41,6 +45,13 @@ def mesh_from_config(cfg, devices=None) -> Mesh | None:
     n = len(devices)
     model = cfg.model
     data = cfg.data
+    if model <= 0:
+        raise ValueError("mesh config: model axis size must be >= 1")
+    if data <= 0 and data != -1:
+        raise ValueError(
+            "mesh config: data axis size must be >= 1 "
+            f"(or -1 for 'all remaining'), got {data}"
+        )
     if data == -1:
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")

@@ -41,6 +41,13 @@ def classification_report(y_true, y_pred, classes=None, target_names=None) -> st
     """Text report in the sklearn layout the reference prints (ipynb:417)."""
     metrics = per_class_metrics(y_true, y_pred, classes)
     keys = list(metrics.keys())
+    if target_names is not None and len(target_names) != len(keys):
+        # sklearn raises here too; silently zip-truncating would drop
+        # class rows while the averages still covered them
+        raise ValueError(
+            f"Number of classes ({len(keys)}) does not match size of "
+            f"target_names ({len(target_names)})"
+        )
     names = target_names if target_names is not None else [str(k) for k in keys]
     width = max([len(str(n)) for n in names] + [12])
     lines = [f"{'':>{width}}  precision    recall  f1-score   support", ""]
@@ -63,8 +70,9 @@ def classification_report(y_true, y_pred, classes=None, target_names=None) -> st
     lines += [
         "",
         f"{'accuracy':>{width}}  {'':9} {'':9} {acc:9.2f} {n:9d}",
-        f"{'macro avg':>{width}}  {macro[0]:9.2f} {macro[1]:9.2f} {macro[2]:9.2f} {n:9d}",
+        f"{'macro avg':>{width}}  {macro[0]:9.2f} {macro[1]:9.2f} "
+        f"{macro[2]:9.2f} {int(supports.sum()):9d}",
         f"{'weighted avg':>{width}}  {weighted[0]:9.2f} {weighted[1]:9.2f} "
-        f"{weighted[2]:9.2f} {n:9d}",
+        f"{weighted[2]:9.2f} {int(supports.sum()):9d}",
     ]
     return "\n".join(lines)
