@@ -294,28 +294,27 @@ def extract_features(
                 break
 
     num_channels = images.shape[-1]
+    # ONE name-layout source (morphology appended last inside the registry,
+    # matching columns_by_channel_positional / num_features)
     names = registry.feature_names(
         num_channels,
         include_intensity=cfg.include_intensity,
         include_glcm=cfg.include_glcm,
         channel_names=channel_names,
         glcm_pair_labels=cfg.glcm.pair_labels,
+        include_morphology=cfg.include_morphology,
     )
 
     if cfg.include_morphology:
         if mask is None:
             raise ValueError("include_morphology requires a mask")
-        from tpumcia.features.morphology import (
-            morphology_feature_names,
-            morphology_features,
-        )
+        from tpumcia.features.morphology import morphology_features
 
         morph = morphology_features(mask)  # (B, C, 8)
         morph = morph.reshape(morph.shape[0], -1)
         if isinstance(value_blocks[0], np.ndarray):
             morph = np.asarray(morph, dtype=value_blocks[0].dtype)
         value_blocks.append(morph)
-        names += morphology_feature_names(num_channels, channel_names)
 
     if len(value_blocks) == 1:
         values = value_blocks[0]

@@ -55,6 +55,7 @@ def feature_names(
     include_glcm: bool = True,
     channel_names: list[str] | None = None,
     glcm_pair_labels: list[str] | None = None,
+    include_morphology: bool = False,
 ) -> list[str]:
     """Column names in reference order. ``channel_names`` (h5 contract key
     ``channels``, README.md:13) replaces the default Ch1..ChC suffixes.
@@ -79,6 +80,13 @@ def feature_names(
                 for c in range(num_channels)
                 for f in GLCM_FEATURES
             ]
+    if include_morphology:
+        # the name layout and the positional column layout
+        # (columns_by_channel_positional / num_features) must come from one
+        # place — morphology names append last, matching extract.py
+        from tpumcia.features.morphology import morphology_feature_names
+
+        names += morphology_feature_names(num_channels, channel_names)
     return names
 
 

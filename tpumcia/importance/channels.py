@@ -98,6 +98,15 @@ def aggregate_channel_importance(
             [j for j, n in enumerate(names) if f"Ch{c + 1}" in n]
             for c in range(num_channels)
         ]
+        if all(len(g) == 0 for g in groups):
+            # same guard as the exact branch: custom channel names carry no
+            # Ch{i} substring, and silently returning zeros would fake a
+            # "no channel matters" result
+            raise ValueError(
+                "no Ch{i} substrings found in feature names; pass groups= "
+                "(e.g. FeatureMatrix.channel_columns()) for custom channel "
+                "names"
+            )
     else:
         raise ValueError(f"unknown match mode {match!r}")
 
@@ -256,10 +265,15 @@ def channel_importance(
         return out
 
     if method == "ablation":
+        from tpumcia.features.finalize import fetch_to_host
         from tpumcia.importance.ablation import channel_ablation_importance
 
+        # ablation scores on HOST (head.score loop): fetch once via the
+        # cross-process-safe helper instead of handing it the
+        # device-resident copy (np.asarray of a sharded global raises,
+        # and the sweep-path device residency buys nothing here)
         drops = channel_ablation_importance(
-            head, X_arr, y, features.channel_columns(),
+            head, fetch_to_host(X_arr), y, features.channel_columns(),
         )
         per_channel = [np.array([d]) for d in drops]
         return ChannelImportanceResult(

@@ -26,14 +26,21 @@ def mdi_importance(head) -> np.ndarray:
 
 def mdi_channel_importance(head, features, *, threshold: float = 0.01,
                            match: str = "exact"):
-    """Notebook cells 23+25 in one call: MDI -> per-channel aggregation."""
+    """Notebook cells 23+25 in one call: MDI -> per-channel aggregation.
+
+    Exact matching groups by the matrix's positional column layout, so
+    custom h5 channel names (no ``_Ch{i}`` suffix) group correctly and the
+    result carries the channel names for plots/summaries."""
     from tpumcia.importance.channels import aggregate_channel_importance
 
-    return aggregate_channel_importance(
+    out = aggregate_channel_importance(
         mdi_importance(head),
         features.names,
         features.num_channels,
         threshold=threshold,
         match=match,
         method="mdi",
+        groups=features.channel_columns() if match == "exact" else None,
     )
+    out.channel_names = getattr(features, "channel_names", None)
+    return out

@@ -462,18 +462,14 @@ def _config_feature_names(
     """Mirror ``extract_features``' column-name construction so shard
     artifacts carry identical columns whichever branch (or process)
     produced them."""
-    names = registry.feature_names(
+    return registry.feature_names(
         num_channels,
         include_intensity=cfg.include_intensity,
         include_glcm=cfg.include_glcm,
         channel_names=channel_names,
         glcm_pair_labels=cfg.glcm.pair_labels,
+        include_morphology=cfg.include_morphology,
     )
-    if cfg.include_morphology:
-        from tpumcia.features.morphology import morphology_feature_names
-
-        names = names + morphology_feature_names(num_channels, channel_names)
-    return names
 
 
 def stream_extract_h5(

@@ -8,6 +8,16 @@ import time
 from pathlib import Path
 
 
+def _json_default(o):
+    item = getattr(o, "item", None)
+    if item is not None and getattr(o, "ndim", 1) == 0:
+        return item()  # numpy/jax scalar
+    tolist = getattr(o, "tolist", None)
+    if tolist is not None:
+        return tolist()  # numpy/jax array
+    raise TypeError(f"not JSON serializable: {type(o).__name__}")
+
+
 class MetricsLogger:
     """Append-only JSONL metrics stream (stdout and/or file)."""
 
@@ -17,7 +27,9 @@ class MetricsLogger:
 
     def log(self, event: str, **fields) -> dict:
         rec = {"ts": time.time(), "event": event, **fields}
-        line = json.dumps(rec)
+        # numpy scalars/arrays serialize instead of TypeError-ing a
+        # multi-hour run at a log call (call sites no longer hand-cast)
+        line = json.dumps(rec, default=_json_default)
         if self._fh:
             self._fh.write(line + "\n")
             self._fh.flush()
