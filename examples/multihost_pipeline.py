@@ -98,6 +98,32 @@ def worker() -> None:
         mesh=mesh,
     )
     print(f"[proc {pid}] cnn loss history: {cnn.history}")
+
+    # 5. per-process-feed streaming: each process fetches/decodes/uploads
+    #    ONLY its own round-robin share of the shards through its own host
+    #    link (the aggregate-link answer to the single-link H2D floor);
+    #    per-process manifests merge, and after the completion barrier
+    #    every process assembles the full matrix.
+    import tempfile
+
+    from tpumcia.config import FeatureConfig
+    from tpumcia.pipeline.streaming import stream_extract
+
+    out_dir = Path(tempfile.gettempdir()) / "tpumcia_multihost_stream"
+
+    def fetch(idx):
+        return full[idx], None, y[idx]
+
+    stream = stream_extract(
+        fetch, len(full), out_dir, shard_size=max(4, len(full) // 4),
+        config=FeatureConfig(use_pallas="never"),
+        config_tag="multihost-demo",
+    )
+    print(
+        f"[proc {pid}] streamed {stream.features.shape} "
+        f"(computed {stream.shards_computed} shards locally, "
+        f"profile {stream.profile})"
+    )
     print(f"[proc {pid}] OK")
 
 
