@@ -24,6 +24,10 @@ run() {  # run LABEL [ENV=V ...] -- cmd...
   echo "--- rc=$? $(date -u +%H:%M:%S)" >> "$LOG"
 }
 
+# 0. e2e bench FIRST: warms the driver-relevant compile cache and
+# records a headline number as early as possible in the tunnel window
+run bench_default -- python bench.py
+
 # 1. MFU + kernel timing at HEAD (wire + full)
 run mfu_baseline -- python benchmarks/mfu.py
 
@@ -50,8 +54,7 @@ run pipelined_chunk2048 TPUMCIA_KERNEL_SCHED=pipelined TPUMCIA_KERNEL_CHUNK=2048
 # 5. one-shot decomposition (VERDICT #7)
 run oneshot -- python benchmarks/oneshot_probe.py
 
-# 6. e2e bench: default, async head fetch, roll, best-combo placeholder
-run bench_default -- python bench.py
+# 6. e2e bench variants
 run bench_async_head TPUMCIA_HEAD_FETCH=async -- python bench.py
 run bench_roll TPUMCIA_KERNEL_SHIFT=roll -- python bench.py
 
