@@ -11,4 +11,9 @@
 # forwarded to `python -m tpumcia.eval` (plus --distributed).
 set -euo pipefail
 cd "$(dirname "$0")"
+# wait a (documented-routine) TPU tunnel outage out before touching
+# the backend; bounded, skippable with TPUMCIA_NO_WAIT=1
+if [ -z "${TPUMCIA_NO_WAIT:-}" ]; then
+  python -m tpumcia.utils.outage --max-wait "${TPUMCIA_MAX_WAIT:-1200}"
+fi
 exec python -m tpumcia.eval --config configs/sample_config.json --distributed "$@"
