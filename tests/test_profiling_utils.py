@@ -32,3 +32,33 @@ def test_metrics_logger_jsonl(tmp_path):
     assert len(lines) == 2
     assert lines[0]["stage"] == "features" and lines[0]["images"] == 12
     assert all("ts" in l and l["event"] == "stage_done" for l in lines)
+
+
+def test_probe_link_times_an_uncached_fetch(monkeypatch):
+    """Regression: the warm fetch and the timed fetch must be DISTINCT
+    jax.Arrays — np.asarray caches the host copy on the array object, so
+    timing a re-fetch of the warmed array measures a host memcpy, not the
+    link (observed: ~9 GB/s stamped through a ~30 MB/s tunnel)."""
+    import numpy
+    import jax.numpy as jnp
+
+    from tpumcia.utils import linkprobe
+
+    fetched = []
+    real = numpy.asarray
+
+    def spy(a, *args, **kw):
+        fetched.append(id(a))
+        return real(a, *args, **kw)
+
+    monkeypatch.setattr(numpy, "asarray", spy)
+
+    out = linkprobe.probe_link(n_bytes=1 << 20)
+    assert len(fetched) >= 2 and fetched[-1] != fetched[-2]
+    assert out["probe_mb"] > 0 and out["d2h_mbps"] > 0
+
+    fetched.clear()
+    dev = jnp.zeros((1 << 19,), jnp.float32)
+    out = linkprobe.probe_link(dev, n_bytes=1 << 20)
+    assert len(fetched) >= 2 and fetched[-1] != fetched[-2]
+    assert out["probe_mb"] > 0

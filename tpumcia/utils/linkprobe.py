@@ -13,17 +13,27 @@ import time
 
 
 def probe_link(dev_array=None, n_bytes: int = 1 << 20) -> dict:
-    """One warmed ~``n_bytes`` D2H timing. ``dev_array``: reuse an existing
-    device array (sliced flat) instead of allocating one."""
+    """One warmed ~``n_bytes`` D2H timing.
+
+    The warm fetch and the timed fetch MUST be distinct ``jax.Array``
+    objects: ``np.asarray`` caches the host copy on the array
+    (``_npy_value``), so re-fetching the same object is a host memcpy and
+    times the cache, not the link (r4 bug: probes recorded ~9 GB/s through
+    a ~30 MB/s tunnel). ``dev_array``: reuse an existing device array
+    (sliced flat) instead of allocating one."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    n_elems = n_bytes // 4
     if dev_array is None:
-        flat = jax.device_put(jnp.zeros((n_bytes // 4,), jnp.float32))
+        base = jax.device_put(jnp.zeros((2, n_elems), jnp.float32))
+        warm, flat = base[0], base[1]
     else:
-        flat = dev_array.reshape(-1)[: n_bytes // dev_array.dtype.itemsize]
-    np.asarray(flat)  # warm the fetch path (compiles the slice)
+        raveled = dev_array.reshape(-1)
+        n = min(n_bytes // dev_array.dtype.itemsize, raveled.shape[0] // 2)
+        warm, flat = raveled[:n], raveled[n : 2 * n]
+    np.asarray(warm)  # warm the transfer path and force prior dispatches
     t0 = time.perf_counter()
     out = np.asarray(flat)
     dt = time.perf_counter() - t0
