@@ -37,6 +37,7 @@ def kernel_ops(
     chunk: int = 4096,
     masked: bool = False,
     need_diff: bool = False,
+    roll: bool = True,
 ) -> dict:
     """Per-image op counts for the v5 kernel (pallas_glcm.py::_kernel).
 
@@ -90,8 +91,14 @@ def kernel_ops(
     )
     vpu_ops = sum(v for k, v in per_ch.items() if k.startswith("vpu"))
 
-    # HBM traffic per image: raw + shifted stream, i32, both read once
-    n_streams = 4 if masked else 2
+    # HBM traffic per image, i32 chunk streams read once each. The default
+    # kernel (TPUMCIA_KERNEL_SHIFT=roll, r4) derives the neighbour stream
+    # in-kernel, so only the raw stream (and, masked, one mask stream)
+    # comes from HBM; SHIFT=copy adds the materialised shifted copies.
+    if roll:
+        n_streams = 2 if masked else 1
+    else:
+        n_streams = 4 if masked else 2
     bytes_in = n_streams * hw * 4 * channels + HI * 16 * 4 * channels
     bytes_out = (HI * 16 + 1 + 2 * L + (DHI * 16 if need_diff else 4) + 4 + 1) * 4 * channels
 

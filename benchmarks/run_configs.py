@@ -282,17 +282,37 @@ CONFIGS = {
 }
 
 
+def _is_backend_outage(exc: BaseException) -> bool:
+    text = repr(exc)
+    return any(
+        s in text
+        for s in (
+            "Unable to initialize backend",
+            "Backend 'axon'",
+            "UNAVAILABLE",
+            "DEADLINE_EXCEEDED",
+        )
+    )
+
+
 def main():
     from tpumcia.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=None)
+    ap.add_argument("--configs", type=str, default=None,
+                    help="comma list (internal: outage re-exec continuation)")
     args = ap.parse_args()
-    todo = [args.config] if args.config else sorted(CONFIGS)
+    if args.configs:
+        todo = [int(x) for x in args.configs.split(",")]
+    elif args.config:
+        todo = [args.config]
+    else:
+        todo = sorted(CONFIGS)
     from tpumcia.utils.linkprobe import probe_link
 
-    for c in todo:
+    for i, c in enumerate(todo):
         try:
             # captured immediately before the config runs: every recorded
             # line carries the tunnel's condition at run time (VERDICT r3 #8)
@@ -301,7 +321,37 @@ def main():
             line["link"] = link
             print(json.dumps(line))
         except Exception as e:  # keep going; record the failure
-            print(json.dumps({"config": c, "error": repr(e)}))
+            print(json.dumps({"config": c, "error": repr(e)}), flush=True)
+            # a tunnel outage poisons this process's jax backend: wait it
+            # out (subprocess probe, same layer as bench.py) and re-exec a
+            # FRESH process for this and the remaining configs
+            if _is_backend_outage(e) and os.environ.get(
+                "TPUMCIA_NO_WAIT"
+            ) != "1":
+                from tpumcia.utils.outage import wait_for_backend
+
+                max_wait = float(
+                    os.environ.get("TPUMCIA_BENCH_MAX_WAIT", 2400.0)
+                )
+                res = wait_for_backend(
+                    max_wait_s=max_wait,
+                    log=lambda m: print(f"# outage: {m}", file=sys.stderr),
+                )
+                retries = int(os.environ.get("_TPUMCIA_CONFIGS_RETRY", "0"))
+                if res["ok"] and retries < 5:
+                    os.environ["_TPUMCIA_CONFIGS_RETRY"] = str(retries + 1)
+                    rest = ",".join(str(x) for x in todo[i:])
+                    sys.stdout.flush()
+                    os.execv(
+                        sys.executable,
+                        [sys.executable, os.path.abspath(__file__),
+                         "--configs", rest],
+                    )
+                print(json.dumps({
+                    "outage": "backend never came back",
+                    "waited_s": res["waited_s"],
+                }))
+                return
 
 
 if __name__ == "__main__":

@@ -278,16 +278,18 @@ def test_full_pipeline_compiled_on_tpu(small_batch):
 @pytest.mark.parametrize(
     "env_key, env_val",
     [
-        ("TPUMCIA_KERNEL_SHIFT", "roll"),
-        ("TPUMCIA_KERNEL_SCHED", "pipelined"),
+        ("TPUMCIA_KERNEL_SHIFT", "copy"),
+        ("TPUMCIA_KERNEL_SCHED", "serial"),
         ("TPUMCIA_KERNEL_SCHED", "phased"),
     ],
 )
 def test_kernel_variant_knobs_bit_identical(env_key, env_val):
-    """The v6 measurement knobs (in-kernel rolled neighbour stream; the
-    pipelined/phased VPU-MXU schedules) must be BIT-identical to the
-    default kernel — they are performance restructures, not semantic
-    changes. Runs in a subprocess because the knobs are read at import."""
+    """The kernel restructure knobs (the materialised-copy neighbour
+    stream — the fallback for shapes the default in-kernel roll can't
+    serve; the pipelined/phased VPU-MXU schedules) must be BIT-identical
+    to the default kernel — they are performance restructures, not
+    semantic changes. Runs in a subprocess because the knobs are read at
+    import."""
     import os
     import subprocess
     import sys

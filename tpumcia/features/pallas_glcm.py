@@ -88,6 +88,26 @@ v5 kernel — the rescale runs through the NIBBLE factorization instead of
   stacked nibble matvecs are gone from the full kernel too, and the
   per-channel (L, L) boundary construction disappears entirely.
 
+v6 (r4) — measured restructures; default = in-kernel rolled neighbour
+stream:
+
+* **Rolled neighbour stream (default).** Single-chunk images with a
+  positive flat offset derive the co-occurring neighbour in-kernel with a
+  lane roll (``pltpu.roll``) instead of reading a materialised
+  flat-shifted HBM copy — the wrapped lanes all fall outside the
+  offset-validity window, so the circular wrap is harmless. Halves the
+  chunk-stream HBM traffic and deletes the XLA pad+copy prologue stage;
+  measured e2e bench 47.9k -> 54.7k img/s (r4 probe). Ineligible shapes
+  fall back to the copy path (``TPUMCIA_KERNEL_SHIFT=copy`` forces it).
+* **One-step software pipeline (default).** Step i+1's one-hot
+  construction is emitted before step i's MXU accumulates
+  (``TPUMCIA_KERNEL_SCHED=pipelined``). Measured upside is real but
+  bounded: wire 10.38 -> 9.61 us/img (pipelined+roll), 9.23 with the
+  VMEM-heavy ``phased`` variant at small C*K — the serialized VPU+MXU
+  chain is mostly a genuine dependence/issue-port limit, not a
+  scheduling artifact (r4 probe; ablation puts G+epilogue at ~6-8
+  us/img of the 10.4). ``serial`` restores the pre-r4 order.
+
 Layout design (the part that matters on TPU): every HBM operand keeps its
 pixel axis on *lanes* — inputs are (B, C, K, CHUNK) chunk rows, outputs are
 (B, C, 1, L) rows or (B, C, HI, 16) factor grids, so nothing acquires a
@@ -144,21 +164,30 @@ _OH_KIND = os.environ.get("TPUMCIA_KERNEL_OH", "int8" if _USE_INT8 else "bf16")
 _ABLATE = frozenset(
     p for p in os.environ.get("TPUMCIA_KERNEL_ABLATE", "").split(",") if p
 )
-# TPUMCIA_KERNEL_SCHED: restructure the (channel, chunk) loop to expose
-# VPU/MXU overlap to the Mosaic scheduler (kernel v6 candidates):
-#   pipelined - one-step software pipeline: step i+1's one-hot construction
-#               (VPU + small matmuls) is emitted BEFORE step i's big MXU
-#               accumulates, so the scheduler has independent work adjacent
-#   phased    - build every (channel, chunk) step's one-hots first, then run
-#               all accumulates (VMEM-heavy; only viable at small C*K)
-_SCHED = os.environ.get("TPUMCIA_KERNEL_SCHED", "")
-# TPUMCIA_KERNEL_SHIFT=roll: derive the co-occurring neighbour stream
-# in-kernel with a lane roll instead of reading a materialised flat-shifted
-# HBM copy (single-chunk images, shift > 0 only: every wrapped lane falls
-# outside the offset-validity window, so the circular wrap is harmless).
-# Halves the kernel's chunk-stream HBM traffic and deletes the XLA
-# pad+copy prologue stage that builds the shifted stream.
-_SHIFT_MODE = os.environ.get("TPUMCIA_KERNEL_SHIFT", "")
+# TPUMCIA_KERNEL_SCHED: how the (channel, chunk) loop is ordered to expose
+# VPU/MXU overlap to the Mosaic scheduler (all bit-identical by test):
+#   pipelined - DEFAULT (production since r4): one-step software pipeline —
+#               step i+1's one-hot construction (VPU + small matmuls) is
+#               emitted BEFORE step i's big MXU accumulates, so the
+#               scheduler always has independent work adjacent. Measured
+#               wire 10.38 -> 9.61 us/img with roll (r4 probe); bounded
+#               VMEM (one step's artifacts in flight).
+#   phased    - build every (channel, chunk) step's one-hots first, then
+#               run all accumulates. Slightly faster at small C*K (9.23
+#               wire) but VMEM grows with C*K — not safe as a default.
+#   serial    - the pre-r4 order (stage A then stage B per step).
+_SCHED = os.environ.get("TPUMCIA_KERNEL_SCHED", "pipelined")
+# TPUMCIA_KERNEL_SHIFT: how the co-occurring neighbour stream reaches the
+# kernel. Default "roll" (production since r4): derive it in-kernel with a
+# lane roll instead of reading a materialised flat-shifted HBM copy
+# (single-chunk images, shift > 0 only: every wrapped lane falls outside
+# the offset-validity window, so the circular wrap is harmless). Halves
+# the kernel's chunk-stream HBM traffic and deletes the XLA pad+copy
+# prologue stage that builds the shifted stream — measured e2e 47.9k ->
+# 54.7k img/s on the bench workload (r4 probe), bit-identical outputs.
+# Ineligible shapes (multi-chunk, non-positive shift) fall back to the
+# copy path automatically; TPUMCIA_KERNEL_SHIFT=copy forces it everywhere.
+_SHIFT_MODE = os.environ.get("TPUMCIA_KERNEL_SHIFT", "roll")
 
 
 def _oh_dtypes():
