@@ -56,6 +56,9 @@ def test_probe_link_times_an_uncached_fetch(monkeypatch):
     out = linkprobe.probe_link(n_bytes=1 << 20)
     assert len(fetched) >= 2 and fetched[-1] != fetched[-2]
     assert out["probe_mb"] > 0 and out["d2h_mbps"] > 0
+    # both directions stamped: ingest-bound workloads regress on H2D while
+    # the D2H stamp looks healthy (r4 config-5 lesson)
+    assert out["h2d_mbps"] > 0
 
     fetched.clear()
     dev = jnp.zeros((1 << 19,), jnp.float32)
