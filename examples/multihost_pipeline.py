@@ -104,12 +104,22 @@ def worker() -> None:
     #    link (the aggregate-link answer to the single-link H2D floor);
     #    per-process manifests merge, and after the completion barrier
     #    every process assembles the full matrix.
+    import shutil
     import tempfile
+
+    from jax.experimental.multihost_utils import sync_global_devices
 
     from tpumcia.config import FeatureConfig
     from tpumcia.pipeline.streaming import stream_extract
 
     out_dir = Path(tempfile.gettempdir()) / "tpumcia_multihost_stream"
+    # resume is keyed on (shard start, config_tag): a previous demo run's
+    # shards in this fixed directory would be silently resumed (skipped)
+    # and mixed into this run's matrix — clean once, then barrier so no
+    # process starts streaming into a directory another is deleting
+    if pid == 0 and out_dir.exists():
+        shutil.rmtree(out_dir)
+    sync_global_devices("tpumcia_demo_stream_dir_clean")
 
     def fetch(idx):
         return full[idx], None, y[idx]

@@ -321,9 +321,12 @@ def test_stream_extract_explicit_process_split(tmp_path):
 
     cfg = FeatureConfig(use_pallas="never")
     out = tmp_path / "split"
+    # sequential driver: process 0 runs first, so it must opt out of the
+    # all-shards barrier (its assembly is knowingly partial); process 1,
+    # running last, keeps the default barrier and sees everything done
     res0 = stream_extract(
         fetch_for(0), len(images), out, shard_size=4, config=cfg,
-        process_index=0, process_count=2,
+        process_index=0, process_count=2, barrier_timeout_s=0,
     )
     res1 = stream_extract(
         fetch_for(1), len(images), out, shard_size=4, config=cfg,
@@ -355,6 +358,53 @@ def test_stream_extract_explicit_process_split(tmp_path):
     )
     assert res_resume.shards_computed == 0 and res_resume.shards_skipped == 4
     assert res_resume.features.names == direct.names
+
+
+def test_stream_extract_explicit_split_barrier_raises_on_missing_shards(
+    tmp_path,
+):
+    """Under an explicit launcher split the default assembly barrier polls
+    the shared manifest for the FULL shard space and raises on timeout —
+    a process must never silently return a partial matrix because a
+    sibling crashed or lagged."""
+    from tpumcia.config import FeatureConfig
+
+    images, labels, _ = synthetic_multichannel(3, num_classes=3, seed=1)
+
+    def fetch(idx):
+        return images[idx], None, labels[idx]
+
+    cfg = FeatureConfig(use_pallas="never")
+    with pytest.raises(RuntimeError, match="barrier timed out"):
+        stream_extract(
+            fetch, len(images), tmp_path / "lone", shard_size=4, config=cfg,
+            process_index=0, process_count=2, barrier_timeout_s=0.2,
+        )
+
+
+def test_load_feature_shards_carries_config_grouping(tmp_path):
+    """The reassembled FeatureMatrix must carry the extraction config:
+    channel_columns() grouping depends on it, so a default config against
+    multi-offset shards would silently misgroup the per-channel blocks
+    (biased importance sweeps, no error)."""
+    from tpumcia.config import FeatureConfig, GLCMConfig
+    from tpumcia.features.extract import extract_features
+
+    images, labels, _ = synthetic_multichannel(3, num_classes=2, seed=2)
+    cfg = FeatureConfig(use_pallas="never", glcm=GLCMConfig(distance=(1, 5)))
+
+    def fetch(idx):
+        return images[idx], None, labels[idx]
+
+    out = tmp_path / "multioffset"
+    stream_extract(fetch, len(images), out, shard_size=4, config=cfg)
+    fm, _lab = load_feature_shards(out, config=cfg)
+    direct = extract_features(images, config=cfg)
+    assert fm.names == direct.names
+    assert fm.channel_columns() == direct.channel_columns()
+    # the r4 defect: a default-config load misgroups multi-offset columns
+    fm_default, _ = load_feature_shards(out)
+    assert fm_default.channel_columns() != direct.channel_columns()
 
 
 def test_stream_extract_rejects_inconsistent_process_topology(tmp_path):

@@ -105,6 +105,24 @@ def test_run_with_retry_caps_consecutive_child_failures():
     assert meta["child_failures"] == 3
 
 
+def test_run_with_retry_caps_hanging_child_failures():
+    """A child that HANGS (timeout, not nonzero exit) while the backend
+    probes healthy must also hit the max_child_failures cap — the timeout
+    path used to skip the cap check and respawn until the whole outage
+    budget was burned."""
+    ok_wait = lambda remaining: {"ok": True, "attempts": 1, "waited_s": 0.0}  # noqa: E731
+    rc, parsed, meta = run_with_retry(
+        [sys.executable, "-c", "import time; time.sleep(30)"],
+        max_wait_s=3600.0,
+        child_timeout_s=0.3,
+        log=_silent,
+        wait=ok_wait,
+        max_child_failures=3,
+    )
+    assert rc == 1 and parsed is None
+    assert meta["child_failures"] == 3
+
+
 def test_run_with_retry_restarts_failed_child(tmp_path):
     # Child fails on the first attempt (marker file absent), succeeds on the
     # second — pins the restart loop bench.py relies on when the tunnel dies

@@ -47,14 +47,6 @@ def _quad_shift(levels: int) -> int:
 
 
 @jax.jit
-def _count_ok(stats: SuffStats) -> jax.Array:
-    """Device-side check of the hybrid transport precondition: per-channel
-    pixel counts < 2^16 (16-bit wire fields; 16-bit-half packing; limb
-    bounds). Pair counts are <= pixel counts."""
-    return jnp.max(stats.count) < 65536
-
-
-@jax.jit
 def _device_reduce(stats: SuffStats):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -240,6 +232,10 @@ def unpack_reduced(packed: np.ndarray, *, levels: int = 256) -> dict:
     from tpumcia.features.stats import glcm_sumsq_value
 
     out["sumsq_value"] = glcm_sumsq_value(out.pop("sumsq"), np, f64)
+    # mirror the wire's per-element transport-precondition flag so both
+    # decoders expose the same dict (the packed n field is f32, directly
+    # comparable on host)
+    out["count_overflow"] = out["n"] >= 65536
     return out
 
 
@@ -248,7 +244,8 @@ def unpack_reduced(packed: np.ndarray, *, levels: int = 256) -> dict:
 # than the 51-f32 layout above. Valid for levels <= 256 and per-channel pixel
 # counts < 2^16 (the hybrid regime extract_features already enforces):
 #   w0  : n | min_lev<<16 | max_lev<<24
-#   w1  : npairs | (vmax+1)<<16
+#   w1  : npairs | (vmax+1)<<16 | count_overflow<<31  (n >= 2^16 flag — the
+#         precondition check rides the fetch instead of its own round trip)
 #   w2  : total_raw                      (< 2^24)
 #   w3-7: percentile (idx_lo | idx_hi<<8) pairs, 2 per word (9 pairs + pad)
 #   w8-12: m2 m3 m4 entropy homog_sum    (f32 bit patterns)
@@ -268,7 +265,16 @@ def _device_reduce_wire(stats: SuffStats) -> jax.Array:
     fbits = lambda x: jax.lax.bitcast_convert_type(x.astype(jnp.float32), u32)
 
     w0 = u(r["n"]) | (u(r["min_lev"]) << 16) | (u(r["max_lev"]) << 24)
-    w1 = u(r["npairs"]) | (u(r["vmax"] + 1) << 16)
+    # w1 bit 31: per-(image,channel) transport-precondition flag (count >=
+    # 2^16, where the 16-bit wire fields wrap) — riding the wire fetch
+    # instead of a separate blocking scalar round trip (~30-70 ms/call
+    # through the tunnel). npairs <= n is masked so an overflowing count
+    # cannot smear into the vmax/flag bits.
+    w1 = (
+        (u(r["npairs"]) & 0xFFFF)
+        | (u(r["vmax"] + 1) << 16)
+        | (u(r["n"] >= 65536) << 31)
+    )
     w2 = u(r["total_raw"])
     pair = u(r["idx_lo"]) | (u(r["idx_hi"]) << 8)  # (B, C, 9), 16 bits each
     pair = jnp.concatenate([pair, jnp.zeros_like(pair[..., :1])], axis=-1)
@@ -323,7 +329,8 @@ def unpack_wire(packed: np.ndarray) -> dict:
     out["max_lev"] = ((w0 >> 24) & 0xFF).astype(i64)
     w1 = p[..., 1]
     out["npairs"] = (w1 & 0xFFFF).astype(i64)
-    out["vmax"] = (w1 >> 16).astype(i64) - 1
+    out["vmax"] = ((w1 >> 16) & 0x7FFF).astype(i64) - 1
+    out["count_overflow"] = (w1 >> 31) != 0
     out["total_raw"] = p[..., 2].astype(i64)
     pct = p[..., 3:8]
     pairs = np.stack([pct & 0xFFFF, pct >> 16], axis=-1).reshape(
@@ -394,14 +401,20 @@ def finalize_hybrid(
     stats: SuffStats, *, include_intensity: bool = True, include_glcm: bool = True
 ) -> FinalizedFeatures:
     levels = stats.hist.shape[-1]
-    ok = _count_ok(stats)  # enqueued alongside the reduction dispatch
+    # the transport-precondition check rides the main fetch: the wire
+    # carries a per-element overflow flag (w1 bit 31), and the packed
+    # path's f32 'n' field is directly comparable on host — no separate
+    # blocking scalar fetch (each D2H round trip is ~30-70 ms of pure
+    # link latency through the tunnel)
     if levels <= 256:
         reduced = unpack_wire(_fetch_concurrent(_device_reduce_wire(stats)))
+        ok = not np.any(reduced["count_overflow"])
     else:
         reduced = unpack_reduced(
             _fetch_concurrent(_device_reduce_packed(stats)), levels=levels
         )
-    if not bool(ok):
+        ok = float(np.max(reduced["n"])) < 65536
+    if not ok:
         # the transport's exactness (16-bit wire fields, 16-bit halves,
         # i32 limb bounds) requires per-channel counts < 2^16; violating
         # it would return silently-wrong features, so refuse loudly.

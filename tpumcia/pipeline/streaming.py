@@ -67,6 +67,35 @@ def _load_merged_manifest(out_dir: Path) -> dict:
     return merged
 
 
+def _wait_all_shards_done(
+    out_dir: Path, n: int, shard_size: int, *, timeout_s: float = 600.0
+) -> None:
+    """Barrier for launcher-managed multi-process splits (no
+    ``jax.distributed`` collective available): poll the merged manifest in
+    the shared ``out_dir`` until every shard of the full ``[0, n)`` index
+    space is ``done``. Raises after ``timeout_s`` naming the missing shards
+    — loud beats a silently partial assembled matrix."""
+    expected = [f"shard_{s:09d}" for s in range(0, n, shard_size)]
+    deadline = time.perf_counter() + timeout_s
+    while True:
+        shards = _load_merged_manifest(out_dir)["shards"]
+        missing = [
+            sid for sid in expected
+            if shards.get(sid, {}).get("status") != "done"
+        ]
+        if not missing:
+            return
+        if time.perf_counter() > deadline:
+            raise RuntimeError(
+                f"stream_extract barrier timed out after {timeout_s:.0f}s: "
+                f"{len(missing)}/{len(expected)} shards not done in "
+                f"{out_dir} (first missing: {missing[0]}) — a sibling "
+                "process crashed or is still running; raise "
+                "TPUMCIA_STREAM_BARRIER_TIMEOUT if it is just slow"
+            )
+        time.sleep(0.5)
+
+
 def _load_manifest(out_dir: Path, process_index: int = 0, process_count: int = 1) -> dict:
     p = _manifest_path(out_dir, process_index, process_count)
     if p.exists():
@@ -97,6 +126,7 @@ def stream_extract(
     process_index: int | None = None,
     process_count: int | None = None,
     channel_names: list[str] | None = None,
+    barrier_timeout_s: float | None = None,
 ) -> StreamResult:
     """Extract features over ``n`` objects in resumable shards.
 
@@ -124,6 +154,15 @@ def stream_extract(
     barrier and every one assembles the full merged matrix.
     ``process_index``/``process_count`` override the autodetected topology
     (useful for launcher-managed splits or tests).
+
+    The barrier under a ``jax.distributed`` run is a collective; under an
+    explicit launcher-managed split it polls the shared manifest until
+    every shard of the full index space is done (``barrier_timeout_s``,
+    default 600 s / env ``TPUMCIA_STREAM_BARRIER_TIMEOUT``), then raises
+    rather than return a silently partial matrix. Pass
+    ``barrier_timeout_s=0`` to skip the wait and assemble whatever shards
+    exist — for sequential drivers that invoke one process at a time and
+    know only the last call sees the full collection.
     """
     cfg = config or FeatureConfig()
     out_dir = Path(out_dir)
@@ -423,8 +462,22 @@ def stream_extract(
             from jax.experimental.multihost_utils import sync_global_devices
 
             sync_global_devices("tpumcia_stream_extract_done")
-        # else: launcher-managed split without jax.distributed — the caller
-        # is responsible for barriering before reading the assembled matrix
+        else:
+            # launcher-managed split without jax.distributed: there is no
+            # collective to barrier on, but every process writes to the
+            # SAME out_dir (required for manifest merging), so the shared
+            # manifest is the barrier — poll it until every shard of the
+            # full index space is done. Bounded: a crashed sibling raises
+            # here instead of this process returning a silently partial
+            # matrix. barrier_timeout_s=0 opts out (sequential drivers).
+            if barrier_timeout_s is None:
+                barrier_timeout_s = float(
+                    os.environ.get("TPUMCIA_STREAM_BARRIER_TIMEOUT", 600.0)
+                )
+            if barrier_timeout_s > 0:
+                _wait_all_shards_done(
+                    out_dir, n, shard_size, timeout_s=barrier_timeout_s
+                )
     if names is None:
         # this process computed no shards (full resume, or another process
         # owned them all) — rebuild the column names from the config so the
@@ -439,7 +492,9 @@ def stream_extract(
                     nc = int(z["degenerate"].shape[1])
         if nc is not None:
             names = _config_feature_names(cfg, nc, channel_names)
-    fm, labels = load_feature_shards(out_dir, names=names)
+    fm, labels = load_feature_shards(
+        out_dir, names=names, config=cfg, channel_names=channel_names
+    )
     rate = computed_imgs / elapsed if elapsed > 0 and computed else 0.0
     profile = {k: round(v, 3) for k, v in profile.items()}
     profile["total_s"] = round(elapsed, 3)
@@ -486,6 +541,7 @@ def stream_extract_h5(
     decode_threads: int = 4,
     process_index: int | None = None,
     process_count: int | None = None,
+    barrier_timeout_s: float | None = None,
 ) -> StreamResult:
     """Resumable streaming extraction straight from a directory of
     per-object h5 files (README contract, README.md:5-14): the h5 adapter
@@ -515,16 +571,27 @@ def stream_extract_h5(
         prefetch_depth=prefetch_depth,
         process_index=process_index,
         process_count=process_count,
+        barrier_timeout_s=barrier_timeout_s,
         # the h5 contract's 'channels' key (README.md:13) names the columns
         channel_names=src.channels,
     )
 
 
 def load_feature_shards(
-    out_dir: str | Path, *, names: list[str] | None = None
+    out_dir: str | Path,
+    *,
+    names: list[str] | None = None,
+    config: FeatureConfig | None = None,
+    channel_names: list[str] | None = None,
 ) -> tuple[FeatureMatrix, np.ndarray | None]:
     """Reassemble the full feature matrix (ordered by object index) from a
-    shard directory (all processes' manifests merged)."""
+    shard directory (all processes' manifests merged).
+
+    Pass the ``config`` the shards were extracted with: the returned
+    matrix's ``channel_columns()`` grouping is derived from it, so a
+    default config against multi-offset / morphology shards would silently
+    misgroup the per-channel column blocks (the same defect class
+    ``FeatureMatrix.save``/``load`` guards against)."""
     out_dir = Path(out_dir)
     manifest = _load_merged_manifest(out_dir)
     entries = sorted(
@@ -545,9 +612,16 @@ def load_feature_shards(
     values = np.concatenate(vals)
     degenerate = np.concatenate(degs)
     C = degenerate.shape[1]
+    if config is None:
+        config = FeatureConfig()
     if names is None:
-        names = registry.feature_names(C)
+        names = _config_feature_names(config, C, channel_names)
     fm = FeatureMatrix(
-        values=values, names=list(names), num_channels=C, degenerate=degenerate
+        values=values,
+        names=list(names),
+        num_channels=C,
+        degenerate=degenerate,
+        config=config,
+        channel_names=channel_names,
     )
     return fm, (np.concatenate(labels) if have_labels and labels else None)

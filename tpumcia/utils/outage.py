@@ -171,6 +171,10 @@ def run_with_retry(
                 "waited_for_backend_s": round(waited_for_backend, 1),
                 "child_failures": child_failures,
             }
+        # re-derive the budget AFTER the backend wait consumed its share —
+        # the pre-wait value would let the child overrun max_wait_s by up
+        # to child_timeout_s
+        remaining = max_wait_s - (time.perf_counter() - t0)
         try:
             proc = subprocess.run(
                 list(child_cmd),
@@ -182,6 +186,17 @@ def run_with_retry(
         except subprocess.TimeoutExpired:
             child_failures += 1
             log("[tpumcia.outage] child timed out; retrying")
+            if child_failures >= max_child_failures:
+                log(
+                    "[tpumcia.outage] child timed out %d times with the "
+                    "backend probing healthy — giving up (child bug, not "
+                    "an outage)" % child_failures
+                )
+                return 1, None, {
+                    "attempts": probe_attempts,
+                    "waited_for_backend_s": round(waited_for_backend, 1),
+                    "child_failures": child_failures,
+                }
             continue
         if proc.stderr:
             log(proc.stderr.rstrip())
