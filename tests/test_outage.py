@@ -195,3 +195,119 @@ def test_bench_py_survives_one_failed_child_end_to_end(tmp_path):
     assert parsed["detail"]["outage"]["child_failures"] == 1
     assert "link" in parsed["detail"]
     assert "rep_spread_s" in parsed["detail"]
+
+
+# ---- bench.py parent: multi-moment best-of sampling -----------------------
+
+
+def _load_bench_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_tpumcia_bench", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run(value, backend="tpu", rc=0, failures=0):
+    parsed = None
+    if rc == 0 and value is not None:
+        parsed = {"value": value, "detail": {"backend": backend}}
+    meta = {"attempts": 1, "waited_for_backend_s": 0.5, "child_failures": failures}
+    return rc, parsed, meta
+
+
+def test_best_of_moments_keeps_best_and_aggregates_meta():
+    # three tpu moments below the good threshold: all sampled, best wins,
+    # outage meta sums across the tries
+    bench = _load_bench_module()
+    runs = iter([_run(44_000.0), _run(55_000.0, failures=1), _run(48_000.0)])
+    slept = []
+    best, values, agg = bench.best_of_moments(
+        lambda remaining: next(runs),
+        max_wait_s=2400.0,
+        tries=3,
+        good_value=60_000.0,
+        gap_s=7.0,
+        sleep=slept.append,
+        clock=lambda: 0.0,
+    )
+    assert best["value"] == 55_000.0
+    assert values == [44_000.0, 55_000.0, 48_000.0]
+    assert agg == {"attempts": 3, "waited_for_backend_s": 1.5, "child_failures": 1}
+    assert slept == [7.0, 7.0]
+
+
+def test_best_of_moments_stops_early_on_good_value():
+    bench = _load_bench_module()
+    runs = iter([_run(52_000.0), _run(99_000.0)])
+    best, values, _ = bench.best_of_moments(
+        lambda remaining: next(runs),
+        max_wait_s=2400.0,
+        tries=3,
+        good_value=50_000.0,
+        sleep=lambda s: None,
+        clock=lambda: 0.0,
+    )
+    assert best["value"] == 52_000.0 and values == [52_000.0]
+
+
+def test_best_of_moments_single_try_on_cpu_backend():
+    # CPU child runs (the test env) must not be re-sampled
+    bench = _load_bench_module()
+    runs = iter([_run(120.0, backend="cpu"), _run(130.0, backend="cpu")])
+    best, values, _ = bench.best_of_moments(
+        lambda remaining: next(runs),
+        max_wait_s=2400.0,
+        tries=3,
+        good_value=50_000.0,
+        sleep=lambda s: None,
+        clock=lambda: 0.0,
+    )
+    assert best["value"] == 120.0 and values == [120.0]
+
+
+def test_best_of_moments_keeps_earlier_success_when_later_try_fails():
+    bench = _load_bench_module()
+    runs = iter([_run(44_000.0), _run(None, rc=1, failures=5)])
+    best, values, agg = bench.best_of_moments(
+        lambda remaining: next(runs),
+        max_wait_s=2400.0,
+        tries=3,
+        good_value=60_000.0,
+        sleep=lambda s: None,
+        clock=lambda: 0.0,
+    )
+    assert best["value"] == 44_000.0 and values == [44_000.0]
+    assert agg["child_failures"] == 5
+
+
+def test_best_of_moments_respects_budget():
+    # the clock jumps past the budget after the first run: no second sample
+    bench = _load_bench_module()
+    ticks = iter([0.0, 0.0, 2500.0, 2500.0, 2500.0])
+    runs = iter([_run(44_000.0), _run(88_000.0)])
+    best, values, _ = bench.best_of_moments(
+        lambda remaining: next(runs),
+        max_wait_s=2400.0,
+        tries=3,
+        good_value=60_000.0,
+        sleep=lambda s: None,
+        clock=lambda: next(ticks),
+    )
+    assert best["value"] == 44_000.0 and values == [44_000.0]
+
+
+def test_best_of_moments_all_failures_returns_none():
+    bench = _load_bench_module()
+    best, values, agg = bench.best_of_moments(
+        lambda remaining: _run(None, rc=1),
+        max_wait_s=2400.0,
+        tries=3,
+        sleep=lambda s: None,
+        clock=lambda: 0.0,
+    )
+    assert best is None and values == []
+    assert agg["attempts"] == 1
