@@ -49,11 +49,11 @@ def analyze_objects(objects, *, config=None, labels=None):
     """Full analysis straight from an h5 :class:`ObjectBatch`:
     quantise (16-bit aware) -> features (masked) -> split/fit/report ->
     channel importance. Labels default to the batch's ``label`` metadata."""
-    from tpumcia.config import PipelineConfig
+    from tpumcia.config import coerce_config
     from tpumcia.pipeline.run import run_pipeline
     from tpumcia.preprocess.normalize import quantize_to_levels
 
-    cfg = config or PipelineConfig()
+    cfg = coerce_config(config)
     labels = labels if labels is not None else objects.labels
     if labels is None:
         raise ValueError("objects carry no labels; pass labels= explicitly")

@@ -196,6 +196,21 @@ class PipelineConfig:
         return cls.from_dict(json.loads(Path(path).read_text()))
 
 
+def coerce_config(config) -> "PipelineConfig":
+    """Accept the forms the entry points document: a ``PipelineConfig``, a
+    plain (possibly partial) dict for it, or None for defaults."""
+    if config is None:
+        return PipelineConfig()
+    if isinstance(config, PipelineConfig):
+        return config
+    if isinstance(config, dict):
+        return PipelineConfig.from_dict(config)
+    raise TypeError(
+        "config must be a PipelineConfig, a dict, or None; got "
+        f"{type(config).__name__}"
+    )
+
+
 _SUBTYPES = {
     "features": FeatureConfig,
     "head": HeadConfig,

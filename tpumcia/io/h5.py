@@ -285,14 +285,24 @@ def load_objects(
         if any(a is None for a in arrs):
             return None
         arrs = [np.asarray(a) for a in arrs]
+        # 2-D per-object arrays (the contract's plain (h, w) masks) ride the
+        # same packers as (h, w, c) images via a trailing singleton channel
+        squeeze = all(a.ndim == 2 for a in arrs)
+        if squeeze:
+            arrs = [a[:, :, None] for a in arrs]
         dtypes = {a.dtype for a in arrs}
         if len(dtypes) == 1 and arrs[0].dtype in (np.uint8, np.uint16):
             from tpumcia.io.native import pack_objects
 
-            return pack_objects(arrs, target_hw)  # C++ threaded packer
-        return np.stack(
-            [np.asarray(center_crop_or_pad(a[None], target_hw))[0] for a in arrs]
-        )
+            out = pack_objects(arrs, target_hw)  # C++ threaded packer
+        else:
+            out = np.stack(
+                [
+                    np.asarray(center_crop_or_pad(a[None], target_hw))[0]
+                    for a in arrs
+                ]
+            )
+        return out[..., 0] if squeeze else out
 
     images = stack("image")
     masks = stack("mask")

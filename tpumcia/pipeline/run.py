@@ -165,9 +165,10 @@ def run_pipeline(
     + permutation sweeps — the headline-benchmark plumbing as the public
     API.
     """
+    from tpumcia.config import coerce_config
     from tpumcia.parallel.mesh import mesh_from_config
 
-    cfg = config or PipelineConfig()
+    cfg = coerce_config(config)
     labels = np.asarray(labels)
     timings: dict[str, float] = {}
     mesh = mesh_from_config(cfg.mesh)
