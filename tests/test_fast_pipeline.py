@@ -433,3 +433,38 @@ def test_run_pipeline_rejects_groupby_without_groups_and_synth_with_mask():
             mask=np.ones(gray.shape, np.uint8),
             config=PipelineConfig(synth=SynthConfig(noise_channels=2)),
         )
+
+
+def test_pipeline_survives_degenerate_channels():
+    """All-zero channels/images produce scipy-faithful NaN skew/kurtosis at
+    the extraction layer (golden-pinned); the pipeline must nan-clean them
+    before the head and finish with finite importances."""
+    import numpy as np
+
+    from tpumcia.config import (
+        FeatureConfig,
+        HeadConfig,
+        ImportanceConfig,
+        PipelineConfig,
+    )
+    from tpumcia.pipeline.run import run_pipeline
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (24, 24, 24, 3)).astype(np.uint8)
+    imgs[..., 1] = 0  # dead channel
+    imgs[5] = 0  # dead image
+    labels = np.array(["a", "b"] * 12)
+    imgs[labels == "a", :, :, 0] //= 4  # separable signal on channel 0
+    res = run_pipeline(
+        imgs,
+        labels,
+        config=PipelineConfig(
+            features=FeatureConfig(use_pallas="never"),
+            head=HeadConfig(kind="logistic", num_steps=100),
+            importance=ImportanceConfig(n_repeats=2),
+        ),
+    )
+    total = np.asarray(res.channel_result.total)
+    assert np.isfinite(total).all()
+    assert res.test_accuracy >= 0.75
+    assert int(np.argmax(total)) == 0
