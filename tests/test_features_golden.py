@@ -341,3 +341,33 @@ def test_graycoprops_list_api(rng):
         want = oracle.graycoprops(ref_g, prop)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
                                    err_msg=prop)
+
+
+def test_extract_rejects_wide_dtypes_that_overflow_levels():
+    """Raw uint16 (the h5 contract dtype) into a <=256-level extraction is
+    always a contract violation — every pixel >= levels silently falls out
+    of the rescale LUT's one-hot and features come back NaN/garbage — so it
+    raises with a pointer to quantize_to_levels. uint16 stays legal when
+    the level count actually covers it."""
+    import pytest
+
+    from tpumcia.config import FeatureConfig, GLCMConfig
+    from tpumcia.features.extract import (
+        extract_features,
+        extract_features_batched,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs16 = rng.integers(0, 65536, (3, 12, 12, 2)).astype(np.uint16)
+    for fn in (extract_features, extract_features_batched):
+        with pytest.raises(TypeError, match="quantize_to_levels"):
+            fn(imgs16, config=FeatureConfig(use_pallas="never"))
+    # a level count that covers the dtype keeps uint16 legal
+    small16 = (imgs16 >> 8).astype(np.uint16)  # values < 256 but wide dtype
+    fm = extract_features(
+        small16,
+        config=FeatureConfig(
+            use_pallas="never", precision="exact", glcm=GLCMConfig(levels=512)
+        ),
+    )
+    assert fm.shape[0] == 3

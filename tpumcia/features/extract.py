@@ -157,7 +157,7 @@ def extract_features(
     if not (cfg.include_intensity or cfg.include_glcm):
         raise ValueError("at least one feature family must be enabled")
 
-    images = _as_level_array(images)
+    images = _as_level_array(images, cfg.glcm.levels)
     use_pallas = _resolve_pallas(cfg)
 
     backend = {"exact": "host", "hybrid": "hybrid", "device": "device"}[
@@ -489,7 +489,7 @@ def extract_features_pending(
     from tpumcia.features.stats import rescale_lut_device
 
     cfg = config or FeatureConfig()
-    images = _as_level_array(images)
+    images = _as_level_array(images, cfg.glcm.levels)
     n = len(images)
     num_channels = (
         images.shape[-1] if synth_noise == 0 else 1 + synth_noise
@@ -647,7 +647,7 @@ def extract_features_batched(
     'exact'/'device' precision, >=2^16 pixels).
     """
     cfg = config or FeatureConfig()
-    images = _as_level_array(images)
+    images = _as_level_array(images, cfg.glcm.levels)
     n = len(images)
     fast = batched_fast_path_ok(images.shape, cfg)
     if keep_device_values and not fast:
@@ -700,12 +700,27 @@ def extract_features_batched(
     ).result()
 
 
-def _as_level_array(images):
+def _as_level_array(images, levels: int = 256):
+    """Validate the level-image contract: integer values in [0, levels).
+
+    Float input and wide integer dtypes that cannot fit the configured
+    level count (the classic mistake: the h5 contract's raw uint16 straight
+    into a 256-level extraction — every pixel >= 256 silently falls out of
+    the rescale LUT's one-hot and the features come back NaN/garbage) are
+    rejected with the quantize pointer instead.
+    """
     arr = images if isinstance(images, jax.Array) else np.asarray(images)
     if arr.dtype.kind == "f":
         raise TypeError(
             "extract_features expects integer level images; for float/16-bit "
             "data apply preprocess.quantize_to_levels first"
+        )
+    if arr.dtype.kind in "iu" and np.iinfo(arr.dtype).max > 255 >= levels - 1:
+        raise TypeError(
+            f"extract_features got {arr.dtype} images but glcm.levels="
+            f"{levels}: values must lie in [0, levels). Apply "
+            "preprocess.quantize_to_levels (16-bit aware) first, or use "
+            "api.analyze_objects which quantizes uint16 automatically"
         )
     return arr
 
