@@ -258,3 +258,20 @@ def test_occlusion_probes_accept_unseen_test_labels():
     y_test[:2] = 9  # unseen class
     occ = channel_occlusion_importance(head, imgs, y_test)
     assert occ.shape == (2,) and np.isfinite(occ).all()
+
+
+def test_fit_head_guards_label_shape_and_degenerate_classes():
+    """Mismatched label length and single-class label sets raise clear
+    ValueErrors instead of an opaque jax broadcasting failure / a silently
+    trivial classifier."""
+    import pytest
+
+    from tpumcia.config import HeadConfig
+    from tpumcia.models.heads import fit_head
+
+    rng = np.random.default_rng(0)
+    X = rng.random((20, 6)).astype(np.float32)
+    with pytest.raises(ValueError, match="labels"):
+        fit_head(X, np.zeros(17, int), config=HeadConfig(kind="logistic"))
+    with pytest.raises(ValueError, match="2 distinct classes"):
+        fit_head(X, np.zeros(20, int), config=HeadConfig(kind="logistic"))

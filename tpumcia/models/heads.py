@@ -448,6 +448,17 @@ def fit_head(
     cfg = config or HeadConfig()
     X = getattr(features, "values", features)
     X = np.asarray(X, dtype=np.float32)
+    labels_arr = np.asarray(labels)
+    if len(labels_arr) != len(X):
+        raise ValueError(
+            f"fit_head: {len(X)} feature rows but {len(labels_arr)} labels"
+        )
+    if len(np.unique(labels_arr)) < 2:
+        raise ValueError(
+            "fit_head needs >= 2 distinct classes; got "
+            f"{np.unique(labels_arr)!r} (a grouped/stratified split that "
+            "left one class empty?)"
+        )
     if scaler is None and scale:
         scaler = MinMaxScaler.fit(X)
     if cfg.kind == "logistic":
