@@ -700,14 +700,22 @@ def extract_features_batched(
     ).result()
 
 
+# bounded best-effort scan: raw 16-bit data violates the level contract
+# densely, so a small prefix sample catches the realistic mistake without
+# paying a full scan on this throttled host (~25 MB/s effective numpy)
+_LEVEL_CHECK_SAMPLE = 1_000_000
+
+
 def _as_level_array(images, levels: int = 256):
     """Validate the level-image contract: integer values in [0, levels).
 
-    Float input and wide integer dtypes that cannot fit the configured
-    level count (the classic mistake: the h5 contract's raw uint16 straight
-    into a 256-level extraction — every pixel >= 256 silently falls out of
-    the rescale LUT's one-hot and the features come back NaN/garbage) are
-    rejected with the quantize pointer instead.
+    Float input is always rejected. For host arrays of a wide integer dtype
+    (the classic mistake: the h5 contract's raw uint16 straight into a
+    256-level extraction — every pixel >= levels silently falls out of the
+    rescale LUT's one-hot and the features come back NaN/garbage), a bounded
+    prefix sample is value-checked; legitimate wide-dtype level images (e.g.
+    quantize_to_levels' int32 output) pass untouched. Device arrays are
+    trusted (a value check would force a link round trip on the fast path).
     """
     arr = images if isinstance(images, jax.Array) else np.asarray(images)
     if arr.dtype.kind == "f":
@@ -715,13 +723,23 @@ def _as_level_array(images, levels: int = 256):
             "extract_features expects integer level images; for float/16-bit "
             "data apply preprocess.quantize_to_levels first"
         )
-    if arr.dtype.kind in "iu" and np.iinfo(arr.dtype).max > 255 >= levels - 1:
-        raise TypeError(
-            f"extract_features got {arr.dtype} images but glcm.levels="
-            f"{levels}: values must lie in [0, levels). Apply "
-            "preprocess.quantize_to_levels (16-bit aware) first, or use "
-            "api.analyze_objects which quantizes uint16 automatically"
-        )
+    if (
+        isinstance(arr, np.ndarray)
+        and arr.dtype.kind in "iu"
+        and np.iinfo(arr.dtype).max >= levels
+    ):
+        # bound along axis 0 FIRST: ravel() on a non-contiguous array would
+        # copy the whole thing, not just the sampled prefix
+        per_row = max(1, int(np.prod(arr.shape[1:], dtype=np.int64))) if arr.ndim else 1
+        rows = max(1, _LEVEL_CHECK_SAMPLE // per_row)
+        sample = np.ravel(arr[:rows])[:_LEVEL_CHECK_SAMPLE]
+        if sample.size and (int(sample.max()) >= levels or int(sample.min()) < 0):
+            raise TypeError(
+                f"extract_features got {arr.dtype} images with values outside "
+                f"[0, glcm.levels={levels}). Apply "
+                "preprocess.quantize_to_levels (16-bit aware) first, or use "
+                "api.analyze_objects which quantizes uint16 automatically"
+            )
     return arr
 
 
