@@ -397,10 +397,10 @@ def stream_extract(
                 profile["ingest_wait_s"] += time.perf_counter() - t_wait
             if num_channels is None:
                 num_channels = int(images.shape[-1])
-            # same TypeError contract as extract_features: a float batch
-            # would otherwise be silently astype-truncated to garbage
-            # levels inside the fused dispatch
-            images = _as_level_array(images)
+            # same TypeError contract as extract_features: a float or
+            # out-of-range-level batch would otherwise be silently
+            # truncated to garbage levels inside the fused dispatch
+            images = _as_level_array(images, cfg.glcm.levels)
             wire, _ = _batch_fused_dispatch(  # async enqueue
                 pad_to_shard(images),
                 pad_to_shard(mask) if mask is not None else None,
