@@ -176,15 +176,20 @@ def best_of_moments(
     gap_s: float = 45.0,
     sleep=time.sleep,
     clock=time.perf_counter,
+    failure_cap: int = 5,
 ) -> tuple[dict | None, list, dict]:
     """Sample up to ``tries`` child runs across tunnel moments; keep the best.
 
     ``run_once(remaining_s) -> (rc, parsed, meta)`` is one bounded
     ``run_with_retry`` call.  Stops early on a non-TPU backend (CPU test
     runs are deterministic enough for one child), on a value clearing
-    ``good_value``, on any failed run (an earlier success still reports),
-    or when the budget cannot fit another ~2 min run.  Returns
-    ``(best_parsed_or_None, all_values, aggregated_outage_meta)``.
+    ``good_value``, on a PERSISTENT child bug (``run_with_retry`` hit its
+    consecutive-failure cap — re-trying a deterministic crash wastes the
+    budget), or when the budget cannot fit another ~2 min run.  A
+    *transient* failed try spends its share of the budget but does NOT end
+    sampling: remaining tries still run, and the best successful sample
+    reports.  Returns ``(best_parsed_or_None, all_values,
+    aggregated_outage_meta)``.
     """
     t0 = clock()
     best = None
@@ -201,9 +206,12 @@ def best_of_moments(
         )
         agg["child_failures"] += meta.get("child_failures", 0)
         if rc != 0 or parsed is None or not parsed.get("value"):
-            # outage budget exhausted or a persistent child bug: stop
-            # sampling; an earlier successful try (if any) still reports
-            break
+            if meta.get("child_failures", 0) >= failure_cap:
+                # run_with_retry's consecutive-failure cap: a child that
+                # keeps dying while the backend probes healthy is a child
+                # BUG — stop sampling (an earlier success still reports)
+                break
+            continue  # transient failure: spend the remaining budget
         values.append(parsed["value"])
         if best is None or parsed["value"] > best["value"]:
             best = parsed

@@ -371,3 +371,25 @@ def test_extract_rejects_wide_dtypes_that_overflow_levels():
         ),
     )
     assert fm.shape[0] == 3
+
+
+def test_extract_rejects_negative_levels_in_narrow_signed_dtypes():
+    """int8 under levels=256 has iinfo.max < levels, but NEGATIVE values
+    still index the rescale LUT/one-hots out of contract — the value check
+    must run for signed dtypes too (ADVICE r4). 0-d input gets the
+    documented TypeError, not an IndexError from the prefix slice."""
+    import pytest
+
+    from tpumcia.config import FeatureConfig
+    from tpumcia.features.extract import _as_level_array, extract_features
+
+    rng = np.random.default_rng(0)
+    neg = rng.integers(-5, 5, (2, 8, 8, 1)).astype(np.int8)
+    with pytest.raises(TypeError, match="quantize_to_levels"):
+        extract_features(neg, config=FeatureConfig(use_pallas="never"))
+    # non-negative int8 stays legal (values < 256 by construction)
+    ok = np.abs(neg)
+    fm = extract_features(ok, config=FeatureConfig(use_pallas="never"))
+    assert fm.shape[0] == 2
+    with pytest.raises(TypeError, match="0-d"):
+        _as_level_array(np.int32(3), 256)

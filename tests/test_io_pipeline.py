@@ -55,6 +55,28 @@ def test_load_objects_standardises_shapes(h5_objects):
     assert fixed.images.shape[1:3] == (48, 48)
 
 
+def test_load_objects_mixed_rank_masks(tmp_path, rng):
+    """A collection mixing plain (h, w) masks with (h, w, 1) ones must load
+    (rank normalised PER object, ADVICE r4), and a genuine channel-count
+    mismatch must raise a clear error, not an opaque packer crash."""
+    for i, mshape in enumerate([(18, 18), (18, 18, 1), (20, 16)]):
+        img = (rng.random((*mshape[:2], 3)) * 65535).astype(np.uint16)
+        msk = (rng.random(mshape) > 0.5).astype(np.uint8)
+        write_object(tmp_path / f"{i}.h5", img, mask=msk, label="x")
+    batch = load_objects(tmp_path)
+    assert batch.masks.shape == (3, 20, 18, 1)  # mixed ranks → (h, w, 1)
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    for i, c in enumerate([None, 3]):  # (h, w) vs (h, w, 3) masks
+        img = (rng.random((18, 18, 3)) * 65535).astype(np.uint16)
+        shape = (18, 18) if c is None else (18, 18, c)
+        msk = (rng.random(shape) > 0.5).astype(np.uint8)
+        write_object(bad / f"{i}.h5", img, mask=msk, label="x")
+    with pytest.raises(ValueError, match="channel counts"):
+        load_objects(bad)
+
+
 def test_load_objects_missing_image_key(tmp_path):
     import h5py
 
@@ -179,6 +201,97 @@ def test_stream_extract_resume(tmp_path):
 
     fm, lab = load_feature_shards(out)
     assert fm.shape == (12, 69)
+
+
+def test_stream_manifest_o1_appends_and_compaction(tmp_path, monkeypatch):
+    """Per-shard manifest updates must be O(1) appends (manifest.jsonl), with
+    ONE full-JSON write per run (the completion compaction) — the per-shard
+    full rewrite was O(S^2) cumulative host I/O at streaming scale
+    (VERDICT r4 #6)."""
+    import tpumcia.pipeline.streaming as streaming
+    from tpumcia.config import FeatureConfig
+
+    images, labels, _ = synthetic_multichannel(4, num_classes=3, seed=2)
+
+    def fetch(idx):
+        return images[idx], None, labels[idx]
+
+    saves = []
+    real_save = streaming._save_manifest
+    monkeypatch.setattr(
+        streaming, "_save_manifest",
+        lambda *a, **k: (saves.append(1), real_save(*a, **k)),
+    )
+    out = tmp_path / "f"
+    cfg = FeatureConfig(use_pallas="never")
+    res = stream_extract(fetch, len(images), out, shard_size=5, config=cfg)
+    assert res.shards_computed == 3
+    assert len(saves) == 1  # compaction only — independent of shard count
+    assert (out / "manifest.json").exists()
+    assert not (out / "manifest.jsonl").exists()  # compacted away
+    fm, _ = load_feature_shards(out)
+    assert fm.shape == (12, 69)
+
+
+def test_stream_resume_from_interrupted_jsonl_and_mixed_dirs(tmp_path):
+    """An interrupted run leaves manifest.jsonl (no compaction); resume must
+    honor it — including alongside a legacy manifest.json from an older run
+    (mixed dir) and with a torn final line from a mid-append crash."""
+    import json
+
+    from tpumcia.config import FeatureConfig
+
+    images, labels, _ = synthetic_multichannel(4, num_classes=3, seed=2)
+    calls = []
+
+    def fetch(idx):
+        calls.append(tuple(idx))
+        return images[idx], None, labels[idx]
+
+    def fetch_crash_after_2(idx):
+        if len(calls) >= 2:
+            raise RuntimeError("simulated mid-run crash")
+        return fetch(idx)
+
+    cfg = FeatureConfig(use_pallas="never")
+    out = tmp_path / "f"
+    with pytest.raises(RuntimeError, match="simulated"):
+        stream_extract(
+            fetch_crash_after_2, len(images), out, shard_size=5, config=cfg,
+            prefetch_depth=0, stage_on_device=False,
+        )
+    jl = out / "manifest.jsonl"
+    assert jl.exists() and not (out / "manifest.json").exists()
+    done_lines = [l for l in jl.read_text().splitlines() if '"sid"' in l]
+    assert len(done_lines) >= 1
+
+    # mixed dir: move the first completed shard's entry into a LEGACY json
+    # (as if an old-format run produced it), leave the rest in the jsonl,
+    # and append a torn partial line (crash mid-append)
+    recs = [json.loads(l) for l in done_lines]
+    legacy = {
+        "version": 1,
+        "config_tag": "default",
+        "shards": {recs[0].pop("sid"): recs[0]},
+    }
+    (out / "manifest.json").write_text(json.dumps(legacy))
+    lines = [
+        l for l in jl.read_text().splitlines()
+        if json.loads(l).get("sid") != list(legacy["shards"])[0]
+        if l.strip()
+    ]
+    jl.write_text("\n".join(lines) + "\n" + '{"sid": "shard_0000')  # torn
+
+    calls.clear()
+    res = stream_extract(fetch, len(images), out, shard_size=5, config=cfg)
+    assert res.shards_computed + res.shards_skipped == 3
+    assert res.shards_skipped >= 1  # jsonl/legacy entries were honored
+    assert res.features.shape == (12, 69)
+    np.testing.assert_array_equal(res.labels, labels)
+    # completion compacted everything into the legacy json
+    assert not jl.exists()
+    m = json.loads((out / "manifest.json").read_text())
+    assert len(m["shards"]) == 3
 
 
 def test_stream_extract_device_staging_parity(tmp_path):

@@ -151,6 +151,23 @@ def test_run_with_retry_restarts_failed_child(tmp_path):
     assert meta["child_failures"] == 1
 
 
+def test_run_with_retry_never_overruns_budget_via_child_floor(tmp_path):
+    """When the re-derived post-wait budget drops below the ~60 s a child
+    needs, the parent must report budget-exhausted instead of clamping the
+    child timeout UP to the floor (which overran max_wait_s by up to 60 s)."""
+    marker = tmp_path / "child_ran"
+    ok_wait = lambda remaining: {"ok": True, "attempts": 1, "waited_s": 0.0}  # noqa: E731
+    rc, parsed, meta = run_with_retry(
+        [sys.executable, "-c", f"open({str(marker)!r}, 'w').close()"],
+        max_wait_s=30.0,  # below the 60 s child floor
+        log=_silent,
+        wait=ok_wait,
+    )
+    assert rc == 1 and parsed is None
+    assert not marker.exists()  # the child was never spawned
+    assert meta["child_failures"] == 0
+
+
 def test_run_with_retry_gives_up_when_backend_never_returns():
     bad_wait = lambda remaining: {"ok": False, "attempts": 3, "waited_s": 0.1}  # noqa: E731
     rc, parsed, meta = run_with_retry(
@@ -301,6 +318,8 @@ def test_best_of_moments_respects_budget():
 
 
 def test_best_of_moments_all_failures_returns_none():
+    # transient failures (below the child-failure cap) spend the full try
+    # budget rather than ending sampling after the first
     bench = _load_bench_module()
     best, values, agg = bench.best_of_moments(
         lambda remaining: _run(None, rc=1),
@@ -310,4 +329,22 @@ def test_best_of_moments_all_failures_returns_none():
         clock=lambda: 0.0,
     )
     assert best is None and values == []
-    assert agg["attempts"] == 1
+    assert agg["attempts"] == 3
+
+
+def test_best_of_moments_continues_after_transient_failure():
+    # VERDICT r4 #8: a transient failed try 2 must not end sampling — try 3
+    # still runs and the best of tries 1+3 reports
+    bench = _load_bench_module()
+    runs = iter([_run(44_000.0), _run(None, rc=1, failures=1), _run(49_000.0)])
+    best, values, agg = bench.best_of_moments(
+        lambda remaining: next(runs),
+        max_wait_s=2400.0,
+        tries=3,
+        good_value=60_000.0,
+        sleep=lambda s: None,
+        clock=lambda: 0.0,
+    )
+    assert best["value"] == 49_000.0
+    assert values == [44_000.0, 49_000.0]
+    assert agg["child_failures"] == 1

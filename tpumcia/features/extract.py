@@ -706,16 +706,22 @@ def extract_features_batched(
 _LEVEL_CHECK_SAMPLE = 1_000_000
 
 
-def _as_level_array(images, levels: int = 256):
+def _as_level_array(images, levels: int = 256, sample: int = _LEVEL_CHECK_SAMPLE):
     """Validate the level-image contract: integer values in [0, levels).
 
-    Float input is always rejected. For host arrays of a wide integer dtype
-    (the classic mistake: the h5 contract's raw uint16 straight into a
-    256-level extraction — every pixel >= levels silently falls out of the
-    rescale LUT's one-hot and the features come back NaN/garbage), a bounded
-    prefix sample is value-checked; legitimate wide-dtype level images (e.g.
-    quantize_to_levels' int32 output) pass untouched. Device arrays are
-    trusted (a value check would force a link round trip on the fast path).
+    Float input is always rejected. For host arrays whose integer dtype can
+    represent out-of-contract values — too wide (the classic mistake: the h5
+    contract's raw uint16 straight into a 256-level extraction — every pixel
+    >= levels silently falls out of the rescale LUT's one-hot and the
+    features come back NaN/garbage) or signed (negative levels index the
+    one-hots out of contract) — a bounded prefix sample is value-checked;
+    legitimate wide-dtype level images (e.g. quantize_to_levels' int32
+    output) pass untouched. Device arrays are trusted (a value check would
+    force a link round trip on the fast path).  ``sample`` bounds the scanned
+    prefix: repeat callers on one stream (pipeline/streaming.py) full-check
+    the first batch and pass a small sample for the rest, since the realistic
+    violation (raw 16-bit data) is dense and the full scan costs ~100-300 ms
+    per batch on this throttled host.
     """
     arr = images if isinstance(images, jax.Array) else np.asarray(images)
     if arr.dtype.kind == "f":
@@ -723,17 +729,21 @@ def _as_level_array(images, levels: int = 256):
             "extract_features expects integer level images; for float/16-bit "
             "data apply preprocess.quantize_to_levels first"
         )
+    if arr.ndim == 0:
+        raise TypeError(
+            "extract_features expects a batched image array, got a 0-d scalar"
+        )
     if (
         isinstance(arr, np.ndarray)
         and arr.dtype.kind in "iu"
-        and np.iinfo(arr.dtype).max >= levels
+        and (np.iinfo(arr.dtype).max >= levels or np.iinfo(arr.dtype).min < 0)
     ):
         # bound along axis 0 FIRST: ravel() on a non-contiguous array would
         # copy the whole thing, not just the sampled prefix
-        per_row = max(1, int(np.prod(arr.shape[1:], dtype=np.int64))) if arr.ndim else 1
-        rows = max(1, _LEVEL_CHECK_SAMPLE // per_row)
-        sample = np.ravel(arr[:rows])[:_LEVEL_CHECK_SAMPLE]
-        if sample.size and (int(sample.max()) >= levels or int(sample.min()) < 0):
+        per_row = max(1, int(np.prod(arr.shape[1:], dtype=np.int64)))
+        rows = max(1, sample // per_row)
+        sampled = np.ravel(arr[:rows])[:sample]
+        if sampled.size and (int(sampled.max()) >= levels or int(sampled.min()) < 0):
             raise TypeError(
                 f"extract_features got {arr.dtype} images with values outside "
                 f"[0, glcm.levels={levels}). Apply "

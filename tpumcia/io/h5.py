@@ -286,10 +286,24 @@ def load_objects(
             return None
         arrs = [np.asarray(a) for a in arrs]
         # 2-D per-object arrays (the contract's plain (h, w) masks) ride the
-        # same packers as (h, w, c) images via a trailing singleton channel
-        squeeze = all(a.ndim == 2 for a in arrs)
-        if squeeze:
-            arrs = [a[:, :, None] for a in arrs]
+        # same packers as (h, w, c) images via a trailing singleton channel.
+        # Rank is normalised PER ARRAY so a collection mixing (h, w) and
+        # (h, w, 1) masks still packs; the batch squeezes back to (h, w)
+        # when every object is effectively single-channel.
+        bad = [a.shape for a in arrs if a.ndim not in (2, 3)]
+        if bad:
+            raise ValueError(
+                f"per-object '{key}' arrays must be (h, w) or (h, w, c); "
+                f"got shapes {bad[:3]}"
+            )
+        squeeze = all(a.ndim == 2 for a in arrs)  # mixed ranks → (h, w, 1)
+        arrs = [a[:, :, None] if a.ndim == 2 else a for a in arrs]
+        cs = {a.shape[2] for a in arrs}
+        if len(cs) != 1:
+            raise ValueError(
+                f"inconsistent channel counts across per-object '{key}' "
+                f"arrays: {sorted(cs)}"
+            )
         dtypes = {a.dtype for a in arrs}
         if len(dtypes) == 1 and arrs[0].dtype in (np.uint8, np.uint16):
             from tpumcia.io.native import pack_objects

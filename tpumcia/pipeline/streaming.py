@@ -42,19 +42,59 @@ class StreamResult:
 
 def _manifest_path(out_dir: Path, process_index: int = 0, process_count: int = 1) -> Path:
     # multi-process runs write one manifest per process (no cross-process
-    # file races); readers always merge every manifest*.json they find, so
-    # resume works across runs with different process counts
+    # file races); readers always merge every manifest*.json{,l} they find,
+    # so resume works across runs with different process counts
     if process_count > 1:
         return out_dir / f"manifest_p{process_index:04d}.json"
     return out_dir / "manifest.json"
 
 
+def _manifest_jsonl_path(
+    out_dir: Path, process_index: int = 0, process_count: int = 1
+) -> Path:
+    # in-progress shard completions append here in O(1) (one line per shard;
+    # the legacy full-JSON rewrite was O(S^2) cumulative host I/O at the
+    # millions-of-objects scale this subsystem exists for); a successful run
+    # compacts the log into the legacy .json and removes it
+    if process_count > 1:
+        return out_dir / f"manifest_p{process_index:04d}.jsonl"
+    return out_dir / "manifest.jsonl"
+
+
+def _read_manifest_jsonl(path: Path) -> dict:
+    """Parse one append-log manifest. Tolerates a torn final line (a crash
+    mid-append): the shard's npz precedes its manifest line, so a lost line
+    merely recomputes that shard on resume."""
+    m = {"shards": {}, "version": 2}
+    for line in path.read_text().splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue  # torn tail line
+        if "sid" in rec:
+            sid = rec.pop("sid")
+            m["shards"][sid] = rec
+        elif "config_tag" in rec:
+            m["config_tag"] = rec["config_tag"]
+    return m
+
+
 def _load_merged_manifest(out_dir: Path) -> dict:
-    """Union of all manifest files in ``out_dir`` (single- and multi-process
-    runs interleave cleanly: shard ids are disjoint by start index)."""
+    """Union of all manifest files in ``out_dir`` — legacy ``.json`` and
+    append-log ``.jsonl``, any mix (single- and multi-process runs interleave
+    cleanly: shard ids are disjoint by start index)."""
     merged = {"shards": {}, "version": 1}
-    for p in sorted(out_dir.glob("manifest*.json")):
-        m = json.loads(p.read_text())
+    for p in sorted(out_dir.glob("manifest*.json")) + sorted(
+        out_dir.glob("manifest*.jsonl")
+    ):
+        m = (
+            _read_manifest_jsonl(p)
+            if p.suffix == ".jsonl"
+            else json.loads(p.read_text())
+        )
         merged["shards"].update(m.get("shards", {}))
         tag = m.get("config_tag")
         if tag is not None:
@@ -97,10 +137,19 @@ def _wait_all_shards_done(
 
 
 def _load_manifest(out_dir: Path, process_index: int = 0, process_count: int = 1) -> dict:
+    """This process's manifest view: compacted .json plus any .jsonl tail an
+    interrupted previous run left behind (so compaction never drops them)."""
     p = _manifest_path(out_dir, process_index, process_count)
-    if p.exists():
-        return json.loads(p.read_text())
-    return {"shards": {}, "version": 1}
+    manifest = (
+        json.loads(p.read_text()) if p.exists() else {"shards": {}, "version": 1}
+    )
+    pl = _manifest_jsonl_path(out_dir, process_index, process_count)
+    if pl.exists():
+        tail = _read_manifest_jsonl(pl)
+        manifest["shards"].update(tail["shards"])
+        if manifest.get("config_tag") is None:
+            manifest["config_tag"] = tail.get("config_tag")
+    return manifest
 
 
 def _save_manifest(
@@ -110,6 +159,18 @@ def _save_manifest(
     tmp = path.with_suffix(".tmp")
     tmp.write_text(json.dumps(manifest, indent=2))
     os.replace(tmp, path)  # atomic on POSIX
+
+
+def _compact_manifest(
+    out_dir: Path, manifest: dict, process_index: int = 0, process_count: int = 1
+) -> None:
+    """Fold the append log into the legacy .json and remove it. Crash-safe:
+    the .json lands atomically BEFORE the .jsonl is unlinked, so a crash in
+    between leaves both with identical union."""
+    _save_manifest(out_dir, manifest, process_index, process_count)
+    pl = _manifest_jsonl_path(out_dir, process_index, process_count)
+    if pl.exists():
+        pl.unlink()
 
 
 def stream_extract(
@@ -311,13 +372,23 @@ def stream_extract(
         # uncompressed: feature shards are small and zlib is host-CPU-bound
         np.savez(tmp, **payload)
         os.replace(tmp, shard_file)
-        manifest["shards"][sid] = {
+        entry = {
             "status": "done",
             "start": int(start),
             "stop": int(stop),
             "file": shard_file.name,
         }
-        _save_manifest(out_dir, manifest, process_index, process_count)
+        manifest["shards"][sid] = entry
+        # O(1) append (one line per shard) — the full-JSON rewrite would be
+        # O(S^2) cumulative host I/O over a large collection; the log is
+        # compacted into the legacy .json on successful completion
+        jsonl = _manifest_jsonl_path(out_dir, process_index, process_count)
+        header = (
+            "" if jsonl.exists()
+            else json.dumps({"version": 2, "config_tag": manifest["config_tag"]}) + "\n"
+        )
+        with open(jsonl, "a") as f:
+            f.write(header + json.dumps({"sid": sid, **entry}) + "\n")
         computed += 1
         computed_imgs += int(stop - start)
         elapsed_so_far = time.perf_counter() - t0
@@ -399,8 +470,14 @@ def stream_extract(
                 num_channels = int(images.shape[-1])
             # same TypeError contract as extract_features: a float or
             # out-of-range-level batch would otherwise be silently
-            # truncated to garbage levels inside the fused dispatch
-            images = _as_level_array(images, cfg.glcm.levels)
+            # truncated to garbage levels inside the fused dispatch.
+            # Full prefix scan on the first batch only; later batches get a
+            # small sample (the realistic violation — raw 16-bit data — is
+            # dense, and the full scan costs ~100-300 ms/batch on this host)
+            images = _as_level_array(
+                images, cfg.glcm.levels,
+                sample=1_000_000 if prev is None else 4096,
+            )
             wire, _ = _batch_fused_dispatch(  # async enqueue
                 pad_to_shard(images),
                 pad_to_shard(mask) if mask is not None else None,
@@ -453,6 +530,9 @@ def stream_extract(
             profile["save_s"] += time.perf_counter() - t_save
     elapsed = time.perf_counter() - t0
     log.close()
+    # successful completion of this process's pending shards: compact the
+    # append log into the legacy .json (merged readers accept either/both)
+    _compact_manifest(out_dir, manifest, process_index, process_count)
 
     if process_count > 1:
         import jax

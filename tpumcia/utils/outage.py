@@ -173,14 +173,23 @@ def run_with_retry(
             }
         # re-derive the budget AFTER the backend wait consumed its share —
         # the pre-wait value would let the child overrun max_wait_s by up
-        # to child_timeout_s
+        # to child_timeout_s.  A child needs at least ~60 s to do anything
+        # useful; rather than clamp UP to that floor (overrunning max_wait_s
+        # by up to 60 s), report budget-exhausted when less than the floor
+        # remains.
         remaining = max_wait_s - (time.perf_counter() - t0)
+        if remaining < 60.0:
+            return 1, None, {
+                "attempts": probe_attempts,
+                "waited_for_backend_s": round(waited_for_backend, 1),
+                "child_failures": child_failures,
+            }
         try:
             proc = subprocess.run(
                 list(child_cmd),
                 capture_output=True,
                 text=True,
-                timeout=min(child_timeout_s, max(60.0, remaining)),
+                timeout=min(child_timeout_s, remaining),
                 env=env if env is not None else os.environ.copy(),
             )
         except subprocess.TimeoutExpired:
