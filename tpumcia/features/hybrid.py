@@ -102,7 +102,32 @@ def _device_reduce(stats: SuffStats):
         jnp.where(p > 0, p * jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0), axis=-1
     )
 
-    # --- GLCM: exact integer pieces + f32 small sums ---------------------
+    return dict(
+        n=n,
+        vmax=stats.vmax,
+        min_lev=min_lev,
+        max_lev=max_lev,
+        total_raw=total_raw,
+        idx_lo=idx_lo,
+        idx_hi=idx_hi,
+        rem=rem,
+        m2=m2,
+        m3=m3,
+        m4=m4,
+        entropy=entropy,
+        **_glcm_reduce(stats),
+    )
+
+
+def _glcm_reduce(stats: SuffStats) -> dict:
+    """The GLCM (per-offset) half of :func:`_device_reduce`: exact integer
+    pieces + f32 small sums derived from one offset's marginals and
+    difference reductions. Factored out so the multi-offset wire can reduce
+    each offset's stats without recomputing the shared intensity half."""
+    f32 = jnp.float32
+    i32 = jnp.int32
+    L = stats.marg_l.shape[-1]
+    k = jnp.arange(L, dtype=i32)
     ml = stats.marg_l.astype(i32)
     mr = stats.marg_r.astype(i32)
     i2 = k * k
@@ -146,20 +171,7 @@ def _device_reduce(stats: SuffStats):
         homog_sum = jnp.sum(
             dh.astype(f32) / (1.0 + d2.astype(f32)), axis=-1
         )
-
     return dict(
-        n=n,
-        vmax=stats.vmax,
-        min_lev=min_lev,
-        max_lev=max_lev,
-        total_raw=total_raw,
-        idx_lo=idx_lo,
-        idx_hi=idx_hi,
-        rem=rem,
-        m2=m2,
-        m3=m3,
-        m4=m4,
-        entropy=entropy,
         s_i2_hi=s_i2_hi,
         s_i2_lo=s_i2_lo,
         s_j2_hi=s_j2_hi,
@@ -256,13 +268,49 @@ def unpack_reduced(packed: np.ndarray, *, levels: int = 256) -> dict:
 WIRE_WORDS = 20
 
 
+def _u32(x):
+    return x.astype(jnp.uint32)
+
+
+def _fbits(x):
+    return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+
+
+def _wire_u32_quads(stats: SuffStats):
+    """Exact u32 quadratic sums straight from one offset's integer
+    histograms: every true total is < 2^32 in the hybrid regime, so mod-2^32
+    accumulation is exact (the f32 wire needs base-256 limb pairs for the
+    same values). Returns ``(s_i2, s_j2, s_d2, sumsq)`` u32 arrays."""
+    u = _u32
+    L = stats.marg_l.shape[-1]
+    k = jnp.arange(L, dtype=jnp.uint32)
+    k2 = k * k
+    s_i2 = jnp.sum(u(stats.marg_l.astype(jnp.int32)) * k2, axis=-1)
+    s_j2 = jnp.sum(u(stats.marg_r.astype(jnp.int32)) * k2, axis=-1)
+    if stats.dstats is not None:
+        # v4 kernel: s_d2 limbs already reduced in-kernel (256*hi + lo;
+        # exact u32 — hi < 2^24, so the shifted term stays < 2^32)
+        s_d2 = (u(stats.dstats[..., 0].astype(jnp.int32)) << 8) + u(
+            stats.dstats[..., 1].astype(jnp.int32)
+        )
+    else:
+        d = jnp.arange(2 * L - 1, dtype=jnp.int32) - (L - 1)
+        d2 = u(d * d)
+        s_d2 = jnp.sum(u(stats.diff_hist.astype(jnp.int32)) * d2, axis=-1)
+    limbs = u(stats.glcm_sumsq)  # weights 2^24, 2^13, 2^8, 1 (stats.py)
+    sumsq = (
+        (limbs[..., 0] << 24) + (limbs[..., 1] << 13)
+        + (limbs[..., 2] << 8) + limbs[..., 3]
+    )
+    return s_i2, s_j2, s_d2, sumsq
+
+
 @jax.jit
 def _device_reduce_wire(stats: SuffStats) -> jax.Array:
     """(B, C, 20) uint32 — the minimal-byte exact wire format (levels<=256)."""
     r = _device_reduce(stats)
-    u32 = jnp.uint32
-    u = lambda x: x.astype(u32)
-    fbits = lambda x: jax.lax.bitcast_convert_type(x.astype(jnp.float32), u32)
+    u = _u32
+    fbits = _fbits
 
     w0 = u(r["n"]) | (u(r["min_lev"]) << 16) | (u(r["max_lev"]) << 24)
     # w1 bit 31: per-(image,channel) transport-precondition flag (count >=
@@ -283,29 +331,7 @@ def _device_reduce_wire(stats: SuffStats) -> jax.Array:
         [fbits(r[f]) for f in ("m2", "m3", "m4", "entropy", "homog_sum")],
         axis=-1,
     )
-    # exact u32 quadratic sums straight from the integer histograms: every
-    # true total is < 2^32 in the hybrid regime, so mod-2^32 accumulation is
-    # exact (the f32 wire needs base-256 limb pairs for the same values)
-    L = stats.marg_l.shape[-1]
-    k = jnp.arange(L, dtype=u32)
-    k2 = k * k
-    s_i2 = jnp.sum(u(stats.marg_l.astype(jnp.int32)) * k2, axis=-1)
-    s_j2 = jnp.sum(u(stats.marg_r.astype(jnp.int32)) * k2, axis=-1)
-    if stats.dstats is not None:
-        # v4 kernel: s_d2 limbs already reduced in-kernel (256*hi + lo;
-        # exact u32 — hi < 2^24, so the shifted term stays < 2^32)
-        s_d2 = (u(stats.dstats[..., 0].astype(jnp.int32)) << 8) + u(
-            stats.dstats[..., 1].astype(jnp.int32)
-        )
-    else:
-        d = jnp.arange(2 * L - 1, dtype=jnp.int32) - (L - 1)
-        d2 = u(d * d)
-        s_d2 = jnp.sum(u(stats.diff_hist.astype(jnp.int32)) * d2, axis=-1)
-    limbs = u(stats.glcm_sumsq)  # weights 2^24, 2^13, 2^8, 1 (stats.py)
-    sumsq = (
-        (limbs[..., 0] << 24) + (limbs[..., 1] << 13)
-        + (limbs[..., 2] << 8) + limbs[..., 3]
-    )
+    s_i2, s_j2, s_d2, sumsq = _wire_u32_quads(stats)
     scalars = jnp.stack(
         [w0, w1, w2], axis=-1
     )
@@ -314,6 +340,120 @@ def _device_reduce_wire(stats: SuffStats) -> jax.Array:
         axis=-1,
     )
     return jnp.concatenate([scalars, w_pct, w_float, tail], axis=-1)
+
+
+# --- multi-offset u32 wire --------------------------------------------------
+# (B, C, 12 + 9*O) uint32: the intensity/shared words are shipped ONCE and
+# each offset appends 9 GLCM words — so a whole multi-offset extraction is
+# ONE fetch instead of one ~30-70 ms link round trip per offset
+# (VERDICT r4 #3; skimage list API, ipynb:298). Same exactness regime as the
+# single-offset wire (levels <= 256, per-channel counts < 2^16).
+#   shared w0   : n | min_lev<<16 | max_lev<<24
+#   shared w1   : (vmax+1) | count_overflow<<31
+#   shared w2   : total_raw
+#   shared w3-7 : percentile (idx_lo | idx_hi<<8) pairs, 2 per word
+#   shared w8-11: m2 m3 m4 entropy           (f32 bit patterns)
+#   offset o +0 : npairs                      (< 2^16)
+#   offset o +1 : homog_sum                   (f32 bit pattern)
+#   offset o +2-4: s_i s_j dissim_raw         (< 2^24)
+#   offset o +5-8: s_i2 s_j2 s_d2 sum(G^2)    (exact u32)
+MULTI_WIRE_SHARED = 12
+MULTI_WIRE_PER_OFFSET = 9
+
+
+def multi_wire_words(num_offsets: int) -> int:
+    return MULTI_WIRE_SHARED + MULTI_WIRE_PER_OFFSET * num_offsets
+
+
+@jax.jit
+def _device_reduce_wire_multi(all_stats: tuple) -> jax.Array:
+    """(B, C, 12 + 9*O) uint32 for a tuple of per-offset SuffStats (the
+    ``sufficient_stats*_multi`` contract: only ``all_stats[0]`` carries the
+    intensity histogram; count/vmax are shared)."""
+    r0 = _device_reduce(all_stats[0])
+    u = _u32
+    fbits = _fbits
+
+    w0 = u(r0["n"]) | (u(r0["min_lev"]) << 16) | (u(r0["max_lev"]) << 24)
+    w1 = (u(r0["vmax"] + 1) & 0xFFFF) | (u(r0["n"] >= 65536) << 31)
+    w2 = u(r0["total_raw"])
+    pair = u(r0["idx_lo"]) | (u(r0["idx_hi"]) << 8)
+    pair = jnp.concatenate([pair, jnp.zeros_like(pair[..., :1])], axis=-1)
+    w_pct = pair[..., 0::2] | (pair[..., 1::2] << 16)  # (B, C, 5)
+    w_float = jnp.stack(
+        [fbits(r0[f]) for f in ("m2", "m3", "m4", "entropy")], axis=-1
+    )
+    words = [jnp.stack([w0, w1, w2], axis=-1), w_pct, w_float]
+    for o, stats in enumerate(all_stats):
+        g = r0 if o == 0 else _glcm_reduce(stats)
+        s_i2, s_j2, s_d2, sumsq = _wire_u32_quads(stats)
+        words.append(
+            jnp.stack(
+                [
+                    u(g["npairs"]),
+                    fbits(g["homog_sum"]),
+                    u(g["s_i"]),
+                    u(g["s_j"]),
+                    u(g["dissim_raw"]),
+                    s_i2,
+                    s_j2,
+                    s_d2,
+                    sumsq,
+                ],
+                axis=-1,
+            )
+        )
+    return jnp.concatenate(words, axis=-1)
+
+
+def unpack_wire_multi(packed: np.ndarray, num_offsets: int) -> list[dict]:
+    """Decode the multi-offset u32 wire into one
+    :func:`assemble_reduced`-compatible dict per offset (the first carries
+    the intensity fields; every dict carries n/vmax for the degenerate
+    flags). O(B*C) numpy only."""
+    p = np.ascontiguousarray(np.asarray(packed))
+    assert p.dtype == np.uint32
+    assert p.shape[-1] == multi_wire_words(num_offsets), p.shape
+    i64 = np.int64
+    shared = {}
+    w0 = p[..., 0]
+    shared["n"] = (w0 & 0xFFFF).astype(i64)
+    shared["min_lev"] = ((w0 >> 16) & 0xFF).astype(i64)
+    shared["max_lev"] = ((w0 >> 24) & 0xFF).astype(i64)
+    w1 = p[..., 1]
+    shared["vmax"] = (w1 & 0x7FFF).astype(i64) - 1
+    shared["count_overflow"] = (w1 >> 31) != 0
+    shared["total_raw"] = p[..., 2].astype(i64)
+    pct = p[..., 3:8]
+    pairs = np.stack([pct & 0xFFFF, pct >> 16], axis=-1).reshape(
+        *pct.shape[:-1], 10
+    )[..., :9]
+    shared["idx_lo"] = (pairs & 0xFF).astype(i64)
+    shared["idx_hi"] = ((pairs >> 8) & 0xFF).astype(i64)
+    shared["rem"] = (
+        _Q10.astype(i64)[None, None, :]
+        * np.maximum(shared["n"] - 1, 0)[..., None]
+    ) % 1000
+    floats = np.ascontiguousarray(p[..., 8:12]).view(np.float32)
+    for i, f in enumerate(("m2", "m3", "m4", "entropy")):
+        shared[f] = floats[..., i]
+    out = []
+    for o in range(num_offsets):
+        base = MULTI_WIRE_SHARED + MULTI_WIRE_PER_OFFSET * o
+        d = dict(shared)
+        d["npairs"] = p[..., base].astype(i64)
+        d["homog_sum"] = np.ascontiguousarray(
+            p[..., base + 1 : base + 2]
+        ).view(np.float32)[..., 0]
+        d["s_i"] = p[..., base + 2].astype(i64)
+        d["s_j"] = p[..., base + 3].astype(i64)
+        d["dissim_raw"] = p[..., base + 4].astype(i64)
+        d["s_i2"] = p[..., base + 5].astype(np.float64)
+        d["s_j2"] = p[..., base + 6].astype(np.float64)
+        d["s_d2"] = p[..., base + 7].astype(np.float64)
+        d["sumsq_value"] = p[..., base + 8].astype(np.float64)
+        out.append(d)
+    return out
 
 
 def unpack_wire(packed: np.ndarray) -> dict:
