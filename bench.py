@@ -108,6 +108,21 @@ def child_main() -> None:
     elapsed = times[0]
 
     rate = len(gray) / elapsed
+
+    # ---- ingest-inclusive scope (VERDICT r4 #5): same public call, but the
+    # grayscale batch starts on HOST, so the H2D staging of the raw images
+    # is inside the timing — the closest analogue of the reference's
+    # decode-inclusive 53.46 img/s (ipynb:353). Measured config 5 context:
+    # the tunnel H2D floor is ~10 MB/s, so this scope is link-bound by
+    # design; it is reported alongside, not instead of, the compute scope.
+    ingest_times = []
+    for _ in range(max(2, REPS // 4)):
+        t0 = time.perf_counter()
+        run_pipeline(gray, labels, config=cfg)  # host np array: H2D timed
+        ingest_times.append(time.perf_counter() - t0)
+    ingest_elapsed = min(ingest_times)
+    ingest_rate = len(gray) / ingest_elapsed
+
     chan_total = result.channel_result.total
     feat_chan_total = np.array(
         [
@@ -134,6 +149,22 @@ def child_main() -> None:
                     "link": link,
                     "test_accuracy": round(result.test_accuracy, 4),
                     "signal_channel_ranked_first": ok_ranking,
+                    # same pipeline with the raw-image H2D staging INSIDE the
+                    # timing (host-numpy input) — the apples-to-apples line
+                    # against the reference's decode-inclusive 53.46 img/s
+                    "ingest_inclusive": {
+                        "images_per_sec": round(ingest_rate, 2),
+                        "vs_baseline": round(
+                            ingest_rate / BASELINE_IMAGES_PER_SEC, 2
+                        ),
+                        "elapsed_s": round(ingest_elapsed, 3),
+                        "rep_spread_s": [round(t, 3) for t in sorted(ingest_times)],
+                        "timed_scope": (
+                            "run_pipeline on host-resident grayscale input "
+                            "(H2D staging + synth + features + fetch + head "
+                            "+ importance + report)"
+                        ),
+                    },
                     # comparison note: the reference's 53.46 img/s includes
                     # per-image PNG decode from disk; here the grayscale
                     # batch is pre-staged on device (data generation and H2D

@@ -212,6 +212,9 @@ def test_bench_py_survives_one_failed_child_end_to_end(tmp_path):
     assert parsed["detail"]["outage"]["child_failures"] == 1
     assert "link" in parsed["detail"]
     assert "rep_spread_s" in parsed["detail"]
+    ingest = parsed["detail"]["ingest_inclusive"]  # VERDICT r4 #5 scope
+    assert ingest["images_per_sec"] > 0
+    assert "H2D staging" in ingest["timed_scope"]
 
 
 # ---- bench.py parent: multi-moment best-of sampling -----------------------
