@@ -38,8 +38,13 @@ def _assert_fast_stats_match(full, fast):
     d = np.arange(2 * L - 1) - (L - 1)
     d2 = d * d
     ds = np.asarray(fast.dstats, np.float64)
-    np.testing.assert_array_equal(ds[..., 0], (dh * (d2 >> 8)).sum(-1))
-    np.testing.assert_array_equal(ds[..., 1], (dh * (d2 & 255)).sum(-1))
+    # the hi/lo limb SPLIT of sum(G*d^2) is an internal encoding (kernel v7
+    # emits [T>>8, T&255] of the folded total where the generic path emits
+    # per-element plane sums); the contract is the base-256 reassembly the
+    # wire performs (hybrid._wire_u32_quads) plus the exact |d| plane
+    np.testing.assert_array_equal(
+        ds[..., 0] * 256.0 + ds[..., 1], (dh * d2).sum(-1)
+    )
     np.testing.assert_array_equal(ds[..., 2], (dh * np.abs(d)).sum(-1))
     homog = (dh / (1.0 + d2)).sum(-1)
     np.testing.assert_allclose(ds[..., 3], homog, rtol=1e-5)

@@ -164,6 +164,25 @@ _OH_KIND = os.environ.get("TPUMCIA_KERNEL_OH", "int8" if _USE_INT8 else "bf16")
 _ABLATE = frozenset(
     p for p in os.environ.get("TPUMCIA_KERNEL_ABLATE", "").split(",") if p
 )
+# TPUMCIA_KERNEL_SURROGATE: NON-DCE cost bisection (results wrong by
+# design). Unlike _ABLATE — where skipping a stage also dead-codes its
+# producers/consumers, so stage costs overlap and cannot be attributed —
+# each surrogate replaces ONE stage with a same-shape trivial op that still
+# CONSUMES the stage's inputs and FEEDS its consumers, so every other
+# stage's work stays live and `t_full - t_surrogate(stage)` is that stage's
+# marginal cost (kernel v7 cycle model, VERDICT r4 #1):
+#   g        - G matmul -> slice-add of the one-hots into the accumulator
+#              (one-hot compares still execute; epilogue still reads G).
+#              Requires CH >= L (true at the bench shapes).
+#   epilogue - marginals/sumsq/dstats/pairs -> trivial slices of the G
+#              accumulator (G stays fully live; the reduction passes go)
+#   onehot   - the two (L, CH) equality compares -> reused nibble one-hot
+#              rows, with the recovered values consumed through a (1, 16)
+#              checksum folded into the hist accumulator (recovery stays
+#              live, unlike the ABLATE variant which dead-codes it)
+_SURROGATE = frozenset(
+    p for p in os.environ.get("TPUMCIA_KERNEL_SURROGATE", "").split(",") if p
+)
 # TPUMCIA_KERNEL_SCHED: how the (channel, chunk) loop is ordered to expose
 # VPU/MXU overlap to the Mosaic scheduler (all bit-identical by test):
 #   pipelined - DEFAULT (production since r4): one-step software pipeline —
@@ -254,18 +273,88 @@ def _marginals_from_glcm(glcm, ones_L):
     return marg_l, marg_r
 
 
+def _cheap_tail_planes(levels):
+    """Loop-invariant (L, L) planes for the kernel-v7 cheap epilogue, built
+    ONCE per grid step and shared by every (channel, offset) emission: the
+    |i-j| weight plane (i32) and the homogeneity reciprocal 1/(1+(i-j)^2)
+    (f32 — hoisting it means ONE (L, L) divide per image instead of one per
+    channel)."""
+    i32 = jnp.int32
+    di = jax.lax.broadcasted_iota(i32, (levels, levels), 0) - (
+        jax.lax.broadcasted_iota(i32, (levels, levels), 1)
+    )
+    d2 = di * di
+    return jnp.abs(di), 1.0 / (1.0 + d2.astype(jnp.float32))
+
+
 def _emit_glcm_tail(glcm, c, marg_l_ref, marg_r_ref, sumsq_ref, dstat_ref,
-                    diff_ref, dh16, ones_L, levels):
+                    diff_ref, dh16, ones_L, levels, cheap_planes=None):
     """End-of-channel emission of everything derivable from the VMEM G
     accumulator (kernel v4, VERDICT r2 #1): marginals as row/column sums,
     the exact sum(G^2) limbs, and — when the difference histogram is dropped
     (``dstat_ref`` given) — the three fixed weight-plane reductions the
     hybrid wire derives from it: sum(G*(i-j)^2) as base-256 limbs (each
     partial < 2^24, exact in i32/f32), sum(G*|i-j|) (exact, < 2^24), and
-    sum(G/(1+(i-j)^2)) (f32)."""
+    sum(G/(1+(i-j)^2)) (f32).
+
+    With ``cheap_planes`` (kernel v7, hw <= 4096 so every count and G entry
+    is <= 2^12 and levels <= 256): ~10 per-channel (L, L) elementwise passes
+    + 8 full-plane reductions collapse to 2 passes + 3 reductions. The
+    marginal matvecs grow a second, index-weighted row (an (M, L) matvec
+    costs the same MXU pass as M=1 — CLAUDE.md v3.1), sum(G^2) becomes ONE
+    f32-exact plane (G^2 <= 2^24 and sum(G^2) <= sum(G)^2 <= 2^24), and
+    sum(G*(i-j)^2) falls out of the index-weighted marginals via
+    sum(i^2 G) - 2 sum(i j G) + sum(j^2 G) on (1, L) vectors (every term
+    <= hw*(L-1)^2 < 2^31, exact in i32). The limb ENCODINGS differ from the
+    generic path (hi limbs zero; value-identical after the linear
+    reassembly in stats.glcm_sumsq_value / hybrid._wire_u32_quads) — the
+    XLA path (stats._glcm_sumsq_limbs) switches on the same hw <= 4096 gate
+    so kernel-vs-XLA parity stays bit-exact. The pair count also collapses
+    to a (1, L) row sum of the marginal instead of a full-plane reduction.
+    """
     i32 = jnp.int32
     f32 = jnp.float32
     L = levels
+    if cheap_planes is not None:
+        absd, recip = cheap_planes
+        gf = glcm.astype(f32)
+        hi = jax.lax.Precision.HIGHEST
+        # (Mosaic iota must be integer-typed; cast to f32 after)
+        lane_f = jax.lax.broadcasted_iota(i32, (1, L), 1).astype(f32)
+        # A = [ones; iota]: row 0 -> marginal, row 1 -> index-weighted sums
+        A = jnp.where(jax.lax.broadcasted_iota(i32, (2, 1), 0) == 0, 1.0, lane_f)
+        AL = jax.lax.dot_general(  # (2, L): [sum_j G[k,j]; sum_j j*G[k,j]]
+            A, gf, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=hi,
+        )
+        AR = jax.lax.dot_general(  # (2, L): [sum_i G[i,k]; sum_i i*G[i,k]]
+            A, gf, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=hi,
+        )
+        marg_l, marg_r = AL[0:1, :], AR[0:1, :]
+        marg_l_ref[0, c] = marg_l
+        marg_r_ref[0, c] = marg_r
+        iota4 = jax.lax.broadcasted_iota(i32, (1, 4), 1)
+        s2 = _total(gf * gf).astype(i32)  # one exact f32 plane (<= 2^24)
+        sumsq_ref[0, c] = (s2 >> 8) * (iota4 == 2) + (s2 & 255) * (iota4 == 3)
+        if dstat_ref is not None:
+            lane_i = lane_f.astype(i32)
+            wrow = AL[1:2, :].astype(i32)  # sum_j j*G[k,j] per row k
+            cross = jnp.sum(lane_i * wrow, axis=1, keepdims=True)
+            ii = lane_i * lane_i
+            si2 = jnp.sum(ii * marg_l.astype(i32), axis=1, keepdims=True)
+            sj2 = jnp.sum(ii * marg_r.astype(i32), axis=1, keepdims=True)
+            t_d2 = si2 + sj2 - 2 * cross  # = sum(G*(i-j)^2), exact i32
+            dstat_ref[0, c] = (
+                (t_d2 >> 8).astype(f32) * (iota4 == 0)
+                + (t_d2 & 255).astype(f32) * (iota4 == 1)
+                + _total(glcm.astype(i32) * absd).astype(f32) * (iota4 == 2)
+                + _total(gf * recip) * (iota4 == 3)
+            )
+        else:
+            diff_ref[0, c] = dh16.astype(i32)
+        return jnp.sum(marg_l, axis=1, keepdims=True)  # pair count = sum(G)
+
     marg_l, marg_r = _marginals_from_glcm(glcm, ones_L)
     marg_l_ref[0, c] = marg_l
     marg_r_ref[0, c] = marg_r
@@ -350,6 +439,17 @@ def _kernel(
     lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
     ones_L = jnp.ones((1, L), f32)
 
+    # kernel v7 cheap epilogue gate (see _emit_glcm_tail): every exactness
+    # bound needs pair counts <= 2^12 and levels <= 256. The weight planes
+    # are hoisted here — once per grid step, shared across channels.
+    cheap = hw <= 4096 and L <= 256
+    if not cheap:
+        tail_planes = None
+    elif need_diff:
+        tail_planes = (None, None)  # dstat branch never reached
+    else:
+        tail_planes = _cheap_tail_planes(L)
+
     # per-chunk static position masks: in-bounds pixels and valid pairs
     # (the offset window), reconstructed from the flat pixel index. The
     # per-chunk pixel/pair counts are Python-computable (static window),
@@ -379,10 +479,14 @@ def _kernel(
         chunk of the channel)."""
         raw_all = raw_ref[0, c]  # (K, CH) i32
         if roll_shift:
-            # the neighbour stream is the raw stream rolled left by the
-            # flat offset (single-chunk only; wrapped lanes all fall
-            # outside the offset-validity window, see _SHIFT_MODE)
-            rsh_all = pltpu.roll(raw_all, CH - roll_shift, axis=1)
+            # kernel v7: the neighbour's RESCALED values come from rolling
+            # resc_l in build() — the raw neighbour stream is only needed
+            # by the recovery-ablate probe (rolled lazily there)
+            rsh_all = (
+                pltpu.roll(raw_all, CH - roll_shift, axis=1)
+                if "recovery" in _ABLATE
+                else None
+            )
         else:
             rsh_all = rsh_ref[0, c]
         wi_all = wsh_all = None
@@ -406,7 +510,8 @@ def _kernel(
         the previous step's stage B."""
         raw_all, rsh_all, wi_all, wsh_all, rowh, rowl = ctx
         raw = raw_all[k : k + 1, :]  # (1, CH) left pixel = raw pixel
-        rsh = rsh_all[k : k + 1, :]  # co-occurring neighbour
+        # co-occurring neighbour (None in roll mode: resc_r rolls below)
+        rsh = rsh_all[k : k + 1, :] if rsh_all is not None else None
         if has_mask:
             wb = wi_all[k : k + 1, :] & inb[k]
             pwb = wb & wsh_all[k : k + 1, :] & valid[k]
@@ -429,11 +534,30 @@ def _kernel(
             resc_l, resc_r = raw, rsh  # WRONG results; cost bisection only
         else:
             resc_l = _resc_values(oh_hi_b, oh_lo, rowh, rowl, acc)
-            rhi_b = (rsh >> 4) == iota_hi
-            rlo = ((rsh & 15) == iota_16).astype(oh_t)
-            resc_r = _resc_values(rhi_b, rlo, rowh, rowl, acc)
+            if roll_shift:
+                # kernel v7: in roll mode the neighbour's rescaled values
+                # are the left stream's values lane-rolled by the flat
+                # offset — the second nibble recovery (two compares + two
+                # matvecs) collapses to one (1, CH) roll. Positions whose
+                # rolled source was masked/padded (resc_l forced to 0) or
+                # wrapped only ever reach pairs the pwb sentinel discards,
+                # so the accumulated stats are bit-identical.
+                resc_r = pltpu.roll(resc_l, CH - roll_shift, axis=1)
+            else:
+                rhi_b = (rsh >> 4) == iota_hi
+                rlo = ((rsh & 15) == iota_16).astype(oh_t)
+                resc_r = _resc_values(rhi_b, rlo, rowh, rowl, acc)
 
-        if "onehot" in _ABLATE:
+        chk = None
+        if "onehot" in _SURROGATE:
+            # non-DCE variant: the (L, CH) equalities go, but the recovered
+            # values stay LIVE through a (1, 16) checksum folded into the
+            # hist accumulator (the ABLATE variant dead-codes recovery)
+            rescm = jnp.where(pwb, resc_l, -1)
+            chk = (rescm[:, :16] + resc_r[:, :16]).astype(acc)
+            oh_l = pltpu.repeat(oh_lo, HI, axis=0)
+            oh_r = pltpu.repeat(oh_lo, HI, axis=0)
+        elif "onehot" in _ABLATE:
             # same shapes/dtypes without the (L, CH) equality compares
             # (WRONG results; keeps the G matmul fed for cost bisection)
             oh_l = pltpu.repeat(oh_lo, HI, axis=0)
@@ -443,22 +567,30 @@ def _kernel(
             oh_l = (rescm == iota_L).astype(oh_t)
             oh_r = (resc_r == iota_L).astype(oh_t)
 
-        art = (oh_hi_b, oh_lo, oh_l, oh_r, None, None)
+        art = (oh_hi_b, oh_lo, oh_l, oh_r, chk, None, None)
         if need_diff:
             diff = resc_l - resc_r + (L - 1)  # (1, CH) in [0, 2L-2]
             oh_dhi = (((diff >> 4) == iota_dhi) & pwb).astype(oh_t)
             oh_dlo = ((diff & 15) == iota_16).astype(oh_t)
-            art = art[:4] + (oh_dhi, oh_dlo)
+            art = art[:5] + (oh_dhi, oh_dlo)
         return art
 
     def accum(state, art):
         """Stage B: the MXU accumulates (hist factor matmul, G matmul,
         diff-hist matmul)."""
         hist16, dh16, glcm = state
-        oh_hi_b, oh_lo, oh_l, oh_r, oh_dhi, oh_dlo = art
+        oh_hi_b, oh_lo, oh_l, oh_r, chk, oh_dhi, oh_dlo = art
         if "hist" not in _ABLATE:
             hist16 = hist16 + _lanedot(oh_hi_b.astype(oh_t), oh_lo, acc)
-        if "g" not in _ABLATE:
+        if chk is not None:  # onehot surrogate: keep recovery live
+            hist16 = hist16 + chk
+        if "g" in _SURROGATE:
+            # non-DCE surrogate: consume BOTH one-hots and feed the G
+            # accumulator with a trivial slice-add (CH >= L at the probe
+            # shapes) — the matmul cost goes, everything else stays live
+            # (Mosaic has no sub-32-bit vector adds: cast each side first)
+            glcm = glcm + oh_l[:, :L].astype(acc) + oh_r[:, :L].astype(acc)
+        elif "g" not in _ABLATE:
             # G[i, j] += sum_p pw_p * [l_p == i] * [r_p == j] (pair weight
             # already folded into oh_l via the sentinel)
             glcm = glcm + _lanedot(oh_l, oh_r, acc)
@@ -478,7 +610,19 @@ def _kernel(
         else:
             # static window -> counts are compile-time constants
             count_ref[0, c] = jnp.full((1, 1), float(sum(n_inb)), f32)
-        if "epilogue" in _ABLATE:
+        if "epilogue" in _SURROGATE:
+            # non-DCE surrogate: every epilogue output becomes a trivial
+            # slice of the G accumulator, so G (and everything feeding it)
+            # stays live while the reduction passes go (results wrong)
+            marg_l_ref[0, c] = glcm[0:1, :].astype(f32)
+            marg_r_ref[0, c] = glcm[1:2, :].astype(f32)
+            sumsq_ref[0, c] = glcm[2:3, 0:4].astype(i32)
+            if need_diff:
+                diff_ref[0, c] = dh16.astype(i32)
+            else:
+                dstat_ref[0, c] = glcm[3:4, 0:4].astype(f32)
+            pairs = glcm[4:5, 0:1].astype(f32)
+        elif "epilogue" in _ABLATE:
             zrow = ones_L * 0.0
             marg_l_ref[0, c] = zrow
             marg_r_ref[0, c] = zrow
@@ -491,7 +635,7 @@ def _kernel(
         else:
             pairs = _emit_glcm_tail(
                 glcm, c, marg_l_ref, marg_r_ref, sumsq_ref, dstat_ref,
-                diff_ref, dh16, ones_L, L,
+                diff_ref, dh16, ones_L, L, cheap_planes=tail_planes,
             )
         pairs_ref[0, c] = (
             pairs if has_mask else jnp.full((1, 1), float(sum(n_valid)), f32)
@@ -551,6 +695,24 @@ def _kernel(
             emit(c, state)
 
 
+def _lut_rows(lut, vmax, B, C, HI, L):
+    """Per-channel rescale-LUT row selection as a one-hot matmul instead of
+    a gather (kernel v7 prep): ``jnp.take`` lowers to B*C scalar-indexed row
+    DMAs on TPU, while ``onehot(vmax) @ lut`` is one small MXU pass. Every
+    output element is a sum with exactly ONE nonzero term (the one-hot row),
+    so even DEFAULT-precision bf16 accumulation is exact — but the operands
+    are kept f32 at HIGHEST anyway to match the LUT's dtype (values <= L-1,
+    integer-exact either way)."""
+    f32 = jnp.float32
+    vm = jnp.clip(vmax, 0, L - 1).reshape(B * C, 1)
+    oh = (vm == jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)).astype(f32)
+    rows = jax.lax.dot_general(
+        oh, lut.astype(f32), dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=jax.lax.Precision.HIGHEST,
+    )
+    return rows.reshape(B, C, HI, 16)
+
+
 def _flat_chunks(x, total, K, CH):
     """(B, C, N) -> zero-padded (B, C, K, CH) — a reshape (plus one pad when
     N < total), never an interleaved copy."""
@@ -595,8 +757,7 @@ def _pallas_stats_core(img, w, lut, *, levels, offset, has_mask, interpret,
         vmax = jnp.max(jnp.where(w > 0, img, -1), axis=(2, 3)).astype(i32)
     else:
         vmax = jnp.max(img, axis=(2, 3)).astype(i32)
-    rows = jnp.take(lut.astype(f32), jnp.clip(vmax, 0, L - 1).reshape(-1), axis=0)
-    rows = rows.reshape(B, C, HI, 16)
+    rows = _lut_rows(lut, vmax, B, C, HI, L)
 
     HW = H * W
     CH = min(_CHUNK, max(128, HW))
@@ -774,6 +935,16 @@ def _kernel_multi(
     lane = jax.lax.broadcasted_iota(i32, (1, raw_ref.shape[-1]), 1)
     ones_L = jnp.ones((1, L), f32)
 
+    # kernel v7 cheap epilogue gate + hoisted planes (see _emit_glcm_tail);
+    # shared across channels AND offsets
+    cheap = hw <= 4096 and L <= 256
+    if not cheap:
+        tail_planes = None
+    elif need_diff:
+        tail_planes = (None, None)
+    else:
+        tail_planes = _cheap_tail_planes(L)
+
     CH = raw_ref.shape[-1]
     inb, inb_full, n_inb = [], [], []
     valid = [[] for _ in range(O)]
@@ -802,9 +973,9 @@ def _kernel_multi(
             wi_raw = wi_ref[0, c]
             wi_all = wi_raw > 0
         if roll_shifts:
-            rsh_alls = [
-                pltpu.roll(raw_all, CH - s, axis=1) for s in roll_shifts
-            ]
+            # kernel v7: the rescaled neighbour values roll out of resc_l
+            # per chunk below — the O raw neighbour streams are never built
+            rsh_alls = None
             if has_mask:
                 wsh_alls = [
                     pltpu.roll(wi_raw, CH - s, axis=1) > 0 for s in roll_shifts
@@ -841,14 +1012,24 @@ def _kernel_multi(
             oh_l = (resc_l == iota_L).astype(oh_t)
 
             for o in range(O):
-                rsh = rsh_alls[o][k : k + 1, :]
                 if has_mask:
                     pwb = wb & wsh_alls[o][k : k + 1, :] & valid[o][k]
                 else:
                     pwb = valid[o][k]
-                rhi_b = (rsh >> 4) == iota_hi
-                rlo = ((rsh & 15) == iota_16).astype(oh_t)
-                resc_r = _resc_values(rhi_b, rlo, rowh, rowl, acc)
+                if roll_shifts:
+                    # kernel v7 (see the single-offset kernel): per offset,
+                    # one lane roll of the shared left values replaces the
+                    # whole right-stream nibble recovery; rolled-from-
+                    # masked/padded/wrapped lanes only reach pairs the
+                    # sentinel below discards
+                    resc_r = pltpu.roll(
+                        resc_l, CH - roll_shifts[o], axis=1
+                    )
+                else:
+                    rsh = rsh_alls[o][k : k + 1, :]
+                    rhi_b = (rsh >> 4) == iota_hi
+                    rlo = ((rsh & 15) == iota_16).astype(oh_t)
+                    resc_r = _resc_values(rhi_b, rlo, rowh, rowl, acc)
                 rescm = jnp.where(pwb, resc_r, -1)
                 oh_r = (rescm == iota_L).astype(oh_t)
                 glcm[o] += _lanedot(oh_l, oh_r, acc)
@@ -872,7 +1053,7 @@ def _kernel_multi(
                 glcm[o], c, marg_l_refs[o], marg_r_refs[o], sumsq_refs[o],
                 None if need_diff else dout_refs[o],
                 dout_refs[o] if need_diff else None,
-                dh16[o], ones_L, L,
+                dh16[o], ones_L, L, cheap_planes=tail_planes,
             )
             pairs_refs[o][0, c] = (
                 pairs
@@ -920,8 +1101,7 @@ def _pallas_stats_multi_core(img, w, lut, *, levels, offsets, has_mask,
         vmax = jnp.max(jnp.where(w > 0, img, -1), axis=(2, 3)).astype(i32)
     else:
         vmax = jnp.max(img, axis=(2, 3)).astype(i32)
-    rows = jnp.take(lut.astype(f32), jnp.clip(vmax, 0, L - 1).reshape(-1), axis=0)
-    rows = rows.reshape(B, C, HI, 16)
+    rows = _lut_rows(lut, vmax, B, C, HI, L)
 
     HW = H * W
     CH = min(_CHUNK, max(128, HW))

@@ -91,7 +91,7 @@ def rescale_lut_device(levels: int = 256):
     return jnp.asarray(rescale_lut(levels))
 
 
-def _glcm_sumsq_limbs(glcm_i32, reduce_axes):
+def _glcm_sumsq_limbs(glcm_i32, reduce_axes, cheap=False):
     """Exact integer limbs of ``sum(G^2)`` over int32 co-occurrence counts.
 
     With ``c = a*2^12 + b`` (a = c >> 12, b = c & 4095):
@@ -100,7 +100,19 @@ def _glcm_sumsq_limbs(glcm_i32, reduce_axes):
     counts < 2^24 (sum(a^2) <= P^2/2^24, sum(ab) <= P, sum(b^2>>8) <= 16*P,
     sum(b^2&255) <= 255*L^2), so the int32 sums — and the float64 host
     reassembly in :func:`glcm_sumsq_value` — are exact.
+
+    ``cheap`` (kernel v7, callers gate on H*W <= 4096 and levels <= 256):
+    pair counts <= 2^12 make ``sum(G^2) <= sum(G)^2 <= 2^24`` exact in one
+    i32 pass, emitted as the two low limbs with the hi limbs zero. The limb
+    VALUES differ from the generic encoding but reassemble identically
+    under :func:`glcm_sumsq_value`'s fixed 2^24/2^13/2^8/1 weights; the
+    Pallas kernel switches encodings on the same gate
+    (pallas_glcm._emit_glcm_tail), keeping kernel-vs-XLA parity bit-exact.
     """
+    if cheap:
+        s2 = jnp.sum(glcm_i32 * glcm_i32, axis=reduce_axes)
+        z = jnp.zeros_like(s2)
+        return jnp.stack([z, z, s2 >> 8, s2 & 255], axis=-1)
     a = glcm_i32 >> 12
     b = glcm_i32 & 4095
     bb = b * b
@@ -230,7 +242,10 @@ def _glcm_offset_stats(resc, weight, offset, L, onehot_dtype):
     # Full co-occurrence matrix on the MXU; only its sum of squares leaves the
     # op (needed for ASM/energy — the one prop not derivable from marginals).
     glcm = jnp.einsum("cpi,cpj->cij", oh_l, oh_r, preferred_element_type=f32)
-    glcm_sumsq = _glcm_sumsq_limbs(glcm.astype(jnp.int32), reduce_axes=(1, 2))
+    glcm_sumsq = _glcm_sumsq_limbs(
+        glcm.astype(jnp.int32), reduce_axes=(1, 2),
+        cheap=H * W <= 4096 and L <= 256,  # same gate as the Pallas kernel
+    )
     pair_count = jnp.sum(pw.astype(f32), axis=1)
     return marg_l, marg_r, diff_hist, glcm_sumsq, pair_count
 
