@@ -116,6 +116,80 @@ def kernel_ops(
     }
 
 
+def resnet_fwd_macs(
+    *,
+    width: int = 32,
+    h: int = 64,
+    w: int = 64,
+    channels: int = 3,
+    classes: int = 6,
+    stages: tuple = (2, 2, 2, 2),
+) -> int:
+    """Per-image forward MACs of models/cnn.py::ResNet (convs + classifier;
+    GroupNorm/relu/pool are bandwidth-trivial next to the convs).
+
+    Mirrors the module structure: 3x3 stem at full resolution, then stages
+    of residual blocks — stage s has ``width * 2**s`` features, downsampling
+    by 2 at its first block (stage > 0), whose shape change also adds a 1x1
+    projection conv. This is the dense count (every output position pays all
+    9 taps); XLA's compiled cost_analysis, which discounts the SAME-padding
+    border taps, measures 4.1% lower (1.069 vs 1.114 GFLOP fwd) — so MFU
+    derived from this count overstates by ~4%, noted in BENCHMARKS.md."""
+    macs = h * w * 9 * channels * width  # stem
+    f_in, hh, ww = width, h, w
+    for s, blocks in enumerate(stages):
+        f = width * (2**s)
+        for b in range(blocks):
+            stride = 2 if s > 0 and b == 0 else 1
+            hh2, ww2 = hh // stride, ww // stride
+            macs += hh2 * ww2 * 9 * f_in * f  # conv1
+            macs += hh2 * ww2 * 9 * f * f  # conv2
+            if f_in != f or stride != 1:
+                macs += hh2 * ww2 * 1 * f_in * f  # 1x1 proj
+            f_in, hh, ww = f, hh2, ww2
+    macs += f_in * classes  # classifier dense
+    return macs
+
+
+def cnn_config3_table(
+    train_img_s: float | None = None, occ_img_s: float | None = None
+) -> str:
+    """Config 3 MFU rows (ResNet-18 width 32, 64x64x3, B=256, 6 classes).
+
+    Train step FLOPs = 3x forward (activation + weight gradients each
+    re-pay the forward's MACs — the standard dense-training rule); the
+    occlusion sweep is forward-only but evaluates C+1 variants (baseline +
+    one per zeroed channel) per image. Pass the measured img/s from
+    run_configs.py config 3 to get achieved bf16 MFU."""
+    fwd = resnet_fwd_macs()
+    rows = [
+        f"- ResNet-18 width 32, 64x64x3: forward = {2 * fwd / 1e9:.2f} "
+        f"GFLOP/img (dense conv count; XLA's padding-aware count is 4% lower)",
+        f"- train step = {6 * fwd / 1e9:.2f} GFLOP/img (3x fwd), roofline "
+        f"{6 * fwd / PEAK_BF16_FLOPS * 1e6:.1f} us/img at 197.4 bf16 TFLOPS "
+        f"-> {PEAK_BF16_FLOPS / (6 * fwd) / 1e3:.1f}k img/s",
+        f"- occlusion sweep = {(3 + 1) * 2 * fwd / 1e9:.2f} GFLOP/img "
+        f"(C+1 = 4 forwards), roofline "
+        f"{(3 + 1) * 2 * fwd / PEAK_BF16_FLOPS * 1e6:.1f} us/img -> "
+        f"{PEAK_BF16_FLOPS / ((3 + 1) * 2 * fwd) / 1e3:.1f}k img/s",
+    ]
+    if train_img_s:
+        ach = 6 * fwd * train_img_s
+        rows.append(
+            f"- measured train {train_img_s / 1e3:.1f}k img/s -> "
+            f"{ach / 1e12:.1f} bf16 TFLOPS = "
+            f"{100 * ach / PEAK_BF16_FLOPS:.1f}% MFU"
+        )
+    if occ_img_s:
+        ach = (3 + 1) * 2 * fwd * occ_img_s
+        rows.append(
+            f"- measured occlusion {occ_img_s / 1e3:.1f}k img/s -> "
+            f"{ach / 1e12:.1f} bf16 TFLOPS = "
+            f"{100 * ach / PEAK_BF16_FLOPS:.1f}% MFU"
+        )
+    return "\n".join(rows)
+
+
 def analytic_table() -> str:
     wire = kernel_ops(need_diff=False)
     full = kernel_ops(need_diff=True)
@@ -193,6 +267,13 @@ def measure(batch: int = 2048, reps: int = 16) -> dict:
 
 def main() -> None:
     print(analytic_table())
+    print()
+    print("CNN path (config 3; pass measured img/s via --cnn train occ):")
+    cnn_args = None
+    if "--cnn" in sys.argv[1:]:
+        i = sys.argv.index("--cnn")
+        cnn_args = (float(sys.argv[i + 1]), float(sys.argv[i + 2]))
+    print(cnn_config3_table(*(cnn_args or ())))
     if "--analytic" in sys.argv[1:]:
         return
     meas = measure()
