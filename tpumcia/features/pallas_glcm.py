@@ -185,17 +185,23 @@ _SURROGATE = frozenset(
 )
 # TPUMCIA_KERNEL_SCHED: how the (channel, chunk) loop is ordered to expose
 # VPU/MXU overlap to the Mosaic scheduler (all bit-identical by test):
-#   pipelined - DEFAULT (production since r4): one-step software pipeline —
-#               step i+1's one-hot construction (VPU + small matmuls) is
-#               emitted BEFORE step i's big MXU accumulates, so the
-#               scheduler always has independent work adjacent. Measured
-#               wire 10.38 -> 9.61 us/img with roll (r4 probe); bounded
-#               VMEM (one step's artifacts in flight).
+#   auto      - DEFAULT (production since r5): `phased` when the kernel has
+#               at most _PHASED_MAX_STEPS (channel, chunk) steps — the
+#               bench/eval shapes (C=3, single chunk) — else `pipelined`.
+#   pipelined - one-step software pipeline — step i+1's one-hot
+#               construction (VPU + small matmuls) is emitted BEFORE step
+#               i's big MXU accumulates, so the scheduler always has
+#               independent work adjacent. Measured wire 10.38 -> 9.61
+#               us/img with roll (r4 probe); bounded VMEM (one step's
+#               artifacts in flight). Production default r4.
 #   phased    - build every (channel, chunk) step's one-hots first, then
-#               run all accumulates. Slightly faster at small C*K (9.23
-#               wire) but VMEM grows with C*K — not safe as a default.
+#               run all accumulates. Faster at small C*K (v7: 8.83 ->
+#               8.53 us/img wire at C*K=3) but VMEM grows with C*K (~2 MB
+#               of int8 one-hots per step at L=256, CH=4096) — only safe
+#               when the step count is small, hence the `auto` gate.
 #   serial    - the pre-r4 order (stage A then stage B per step).
-_SCHED = os.environ.get("TPUMCIA_KERNEL_SCHED", "pipelined")
+_SCHED = os.environ.get("TPUMCIA_KERNEL_SCHED", "auto")
+_PHASED_MAX_STEPS = 3  # measured safe + faster at the bench's C*K=3
 # TPUMCIA_KERNEL_SHIFT: how the co-occurring neighbour stream reaches the
 # kernel. Default "roll" (production since r4): derive it in-kernel with a
 # lane roll instead of reading a materialised flat-shifted HBM copy
@@ -651,7 +657,10 @@ def _kernel(
     # the (channel, chunk) loop is unrolled in-kernel with write-once
     # outputs (no revisited blocks, no init/emit predication)
     steps = [(c, k) for c in range(num_channels) for k in range(num_chunks)]
-    if _SCHED == "pipelined":
+    sched = _SCHED
+    if sched == "auto":
+        sched = "phased" if len(steps) <= _PHASED_MAX_STEPS else "pipelined"
+    if sched == "pipelined":
         # one-step software pipeline: emit step i+1's stage A before step
         # i's stage B so the Mosaic scheduler always has independent VPU
         # and MXU work adjacent (kernel v6 candidate)
@@ -671,7 +680,7 @@ def _kernel(
         pc, pk, part = pending
         states[pc] = accum(states[pc], part)
         emit(pc, states[pc])
-    elif _SCHED == "phased":
+    elif sched == "phased":
         # build EVERY step's one-hots first, then run all accumulates
         # (VMEM-heavy: all steps' artifacts live at once)
         states = [fresh_state() for _ in range(num_channels)]
