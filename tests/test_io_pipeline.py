@@ -387,6 +387,31 @@ def test_run_pipeline_smoke():
     assert res.timings["features_s"] > 0
 
 
+def test_run_pipeline_validates_shapes_up_front():
+    """Rank/length mismatches must raise named errors at the entry point,
+    not opaque transpose/index errors deep in the sharded extraction or
+    the split (r5-close probe findings)."""
+    import pytest
+
+    from tpumcia.pipeline.run import run_pipeline
+
+    images, labels, _ = synthetic_multichannel(12, num_classes=2, seed=4)
+
+    with pytest.raises(ValueError, match=r"expects \(B, H, W, C\)"):
+        run_pipeline(images[..., 0], labels)  # 3-D without synth
+    with pytest.raises(ValueError, match="at least one image"):
+        run_pipeline(images[:0], labels[:0])
+    with pytest.raises(ValueError, match="labels length 9 does not match"):
+        run_pipeline(images, labels[:9])
+    with pytest.raises(ValueError, match="groups length 5 does not match"):
+        run_pipeline(
+            images,
+            labels,
+            config={"split": {"group_by": "donor"}},
+            groups=np.arange(5),
+        )
+
+
 def test_stream_partial_final_shard_matches_direct(tmp_path):
     """The wire mode pads a partial final shard to the fixed shard shape
     (one compiled dispatch shape) and trims the pad rows — values must

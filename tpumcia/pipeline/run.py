@@ -194,6 +194,30 @@ def run_pipeline(
         )
 
     images_arr = images if hasattr(images, "shape") else np.asarray(images)
+    # validate shape agreement up front: rank/length mismatches otherwise
+    # surface as opaque transpose/index errors deep in the sharded
+    # extraction or the split
+    want_ndim = 3 if cfg.synth.noise_channels > 0 else 4
+    if images_arr.ndim != want_ndim:
+        expected = "(B, H, W) grayscale (synth.noise_channels > 0)" \
+            if want_ndim == 3 else "(B, H, W, C)"
+        raise ValueError(
+            f"run_pipeline expects {expected} images; got shape "
+            f"{tuple(images_arr.shape)}"
+        )
+    n_objects = images_arr.shape[0]
+    if n_objects == 0:
+        raise ValueError("run_pipeline needs at least one image; got 0")
+    if labels.shape[:1] != (n_objects,):
+        raise ValueError(
+            f"labels length {labels.shape[0] if labels.ndim else 0} does "
+            f"not match the {n_objects} images"
+        )
+    if groups is not None and np.asarray(groups).shape[:1] != (n_objects,):
+        raise ValueError(
+            f"groups length {len(np.asarray(groups))} does not match the "
+            f"{n_objects} images"
+        )
     if _fast_path_ok(cfg, images_arr, mask, mesh):
         return _run_pipeline_fast(
             images_arr, labels, mask=mask, cfg=cfg,
