@@ -135,6 +135,16 @@ def test_shared_mask_broadcasts_across_channels(rng):
     np.testing.assert_array_equal(fm_shared.values, fm_per_ch.values)
 
 
+def test_mask_shape_mismatch_named_error(rng):
+    """A wrong-shaped mask raises a named error at the entry point, not an
+    opaque reshape failure downstream (r5-close probe finding)."""
+    img = (rng.random((2, 16, 16, 3)) * 256).astype(np.uint8)
+    with pytest.raises(ValueError, match="mask shape .* must equal"):
+        extract_features(img, mask=np.ones((2, 8, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="mask shape .* must equal"):
+        extract_features(img, mask=np.ones((2, 16, 16, 2), np.uint8))
+
+
 def test_empty_mask_flagged():
     img = np.full((1, 8, 8, 1), 50, dtype=np.uint8)
     mask = np.zeros((1, 8, 8, 1), dtype=bool)

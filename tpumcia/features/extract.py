@@ -158,6 +158,13 @@ def extract_features(
         raise ValueError("at least one feature family must be enabled")
 
     images = _as_level_array(images, cfg.glcm.levels)
+    if mask is not None:
+        mshape = tuple(mask.shape)
+        if mshape not in (tuple(images.shape), tuple(images.shape[:3])):
+            raise ValueError(
+                f"mask shape {mshape} must equal the images' "
+                f"{tuple(images.shape)} or per-object {tuple(images.shape[:3])}"
+            )
     use_pallas = _resolve_pallas(cfg)
 
     backend = {"exact": "host", "hybrid": "hybrid", "device": "device"}[
