@@ -79,6 +79,18 @@ def test_cnn_trains_with_remainder_and_tiny_datasets(tiny_dataset):
     assert np.isfinite(head2.history[0]["loss"])
 
 
+def test_fit_cnn_validates_inputs(tiny_dataset):
+    """3-D images or mismatched label counts must raise named errors at the
+    entry — flax Conv would otherwise silently compute on a misread layout
+    (r5-close probe finding)."""
+    images, labels = tiny_dataset
+    cfg = CNNConfig(num_classes=3, width=8, depth="10", epochs=1, batch_size=8)
+    with pytest.raises(ValueError, match=r"expects \(B, H, W, C\)"):
+        fit_cnn(images[..., 0], labels, config=cfg)
+    with pytest.raises(ValueError, match="does not match"):
+        fit_cnn(images, labels[:-2], config=cfg)
+
+
 def test_cnn_sharded_training(tiny_dataset):
     from tpumcia.parallel import make_mesh
 

@@ -412,6 +412,17 @@ def test_run_pipeline_validates_shapes_up_front():
         )
 
 
+def test_stream_extract_rejects_empty_collection(tmp_path):
+    """n=0 must fail at the entry, not with FileNotFoundError at assembly
+    (r5-close probe finding)."""
+
+    def fetch(idx):  # pragma: no cover - must never be called
+        raise AssertionError("fetch called for an empty collection")
+
+    with pytest.raises(ValueError, match="n >= 1"):
+        stream_extract(fetch, 0, tmp_path, shard_size=8)
+
+
 def test_stream_partial_final_shard_matches_direct(tmp_path):
     """The wire mode pads a partial final shard to the fixed shard shape
     (one compiled dispatch shape) and trims the pad rows — values must

@@ -219,7 +219,17 @@ def fit_cnn(
 ) -> CNNHead:
     """Train the ResNet on (B, H, W, C) images in [0, 1] (float) or [0, 255]
     (integer, normalised internally)."""
+    if getattr(images, "ndim", np.ndim(images)) != 4:
+        raise ValueError(
+            f"fit_cnn expects (B, H, W, C) images; got shape "
+            f"{tuple(np.shape(images))}"
+        )
     labels = np.asarray(labels)
+    if labels.shape != (images.shape[0],):
+        raise ValueError(
+            f"labels shape {labels.shape} does not match the "
+            f"{images.shape[0]} images"
+        )
     classes, y_idx = np.unique(labels, return_inverse=True)
     cfg = config or CNNConfig(num_classes=len(classes))
     # keep device arrays resident (np.asarray on a device array would drag

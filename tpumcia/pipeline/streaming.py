@@ -226,6 +226,8 @@ def stream_extract(
     know only the last call sees the full collection.
     """
     cfg = config or FeatureConfig()
+    if n < 1:
+        raise ValueError(f"stream_extract needs n >= 1 objects; got {n}")
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if process_count is None:
