@@ -29,6 +29,19 @@ def test_cli_synthetic_with_outputs(tmp_path, capsys):
     assert (plots / "top_features.png").exists()
 
 
+def test_synthetic_rejects_empty_request():
+    """n_per_class=0 (e.g. CLI --n-per-class 0) must raise a named error,
+    not numpy's 'need at least one array to stack' (r5-close probe)."""
+    import pytest
+
+    from tpumcia.io.synthetic import synthetic_mednist
+
+    with pytest.raises(ValueError, match="n_per_class >= 1"):
+        synthetic_mednist(0)
+    with pytest.raises(ValueError, match="num_classes >= 1"):
+        synthetic_mednist(4, num_classes=0)
+
+
 def test_pipeline_feature_importances_nonzero():
     """The per-feature view on the default (logistic) head must carry real
     per-column permutation importances — not the all-zero vector the grouped

@@ -142,6 +142,11 @@ def test_split_modes():
     s4 = train_test_split_indices(100, test_size=0.25, seed=0)
     np.testing.assert_array_equal(s.test_idx, s4.test_idx)
 
+    # a grouped split with one group cannot put a whole group on each side
+    with pytest.raises(ValueError, match="distinct groups"):
+        train_test_split_indices(100, test_size=0.3, seed=1,
+                                 groups=np.zeros(100, dtype=np.int32))
+
 
 def test_mlp_head_learns_nonlinear():
     """XOR-style labels: linearly inseparable, so the logistic head fails

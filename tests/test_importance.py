@@ -98,6 +98,8 @@ def test_ablation(informative_data):
     assert drops.shape == (3,)
     assert drops[0] > 0.2  # ablating informative features hurts
     assert np.all(np.abs(drops[1:]) < 0.08)
+    with pytest.raises(ValueError, match="fill must be"):
+        channel_ablation_importance(head, X, y, groups, fill="median")
 
 
 def test_mdi_channel_importance_one_call(rng):

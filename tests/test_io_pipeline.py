@@ -40,6 +40,25 @@ def test_h5_round_trip(h5_objects):
     assert obj["id"] == "1000"
 
 
+def test_h5_unicode_metadata_round_trip(tmp_path, rng):
+    """Non-ASCII labels/donors/channel names must round trip — np.bytes_(str)
+    ascii-encodes and crashed write_object (r5-close probe finding)."""
+    from tpumcia.io.h5 import write_object
+
+    for i, label in enumerate(["santé", "müde"]):
+        write_object(
+            tmp_path / f"obj{i}.h5",
+            rng.integers(0, 65535, size=(16, 16, 2)).astype(np.uint16),
+            label=label,
+            donor="dønor-1",
+            channels=["DAPI-α", "CD45_β"],
+        )
+    batch = load_objects(tmp_path)
+    assert set(batch.labels) == {"santé", "müde"}
+    assert batch.donors[0] == "dønor-1"
+    assert batch.channels == ["DAPI-α", "CD45_β"]
+
+
 def test_load_objects_standardises_shapes(h5_objects):
     root, paths = h5_objects
     batch = load_objects(root)

@@ -23,6 +23,8 @@ def channel_ablation_importance(
 ) -> np.ndarray:
     """(C,) score drops: baseline accuracy minus accuracy with each channel's
     feature columns replaced by ``fill`` ('mean' of X, or 'zero')."""
+    if fill not in ("mean", "zero"):
+        raise ValueError(f"fill must be 'mean' or 'zero'; got {fill!r}")
     X = np.asarray(X, dtype=np.float32)
     y = np.asarray(y)
     baseline = head.score(X, y)

@@ -59,19 +59,24 @@ def write_object(
     """Write one object file in the README contract layout."""
     import h5py
 
+    def _bytes(s):
+        # np.bytes_(str) encodes ascii and dies on e.g. "müde"; store UTF-8
+        # bytes (read_object decodes utf-8, so round trips are exact).
+        return np.bytes_(s if isinstance(s, bytes) else str(s).encode("utf-8"))
+
     with h5py.File(path, "w") as f:
         f.create_dataset("image", data=np.asarray(image))
         if mask is not None:
             f.create_dataset("mask", data=np.asarray(mask))
         if label is not None:
-            f.create_dataset("label", data=np.bytes_(label))
+            f.create_dataset("label", data=_bytes(label))
         if donor is not None:
-            f.create_dataset("donor", data=np.bytes_(donor))
+            f.create_dataset("donor", data=_bytes(donor))
         if experiment is not None:
-            f.create_dataset("experiment", data=np.bytes_(experiment))
+            f.create_dataset("experiment", data=_bytes(experiment))
         if channels is not None:
             f.create_dataset(
-                "channels", data=np.array([np.bytes_(c) for c in channels])
+                "channels", data=np.array([_bytes(c) for c in channels])
             )
 
 

@@ -51,6 +51,11 @@ def synthetic_mednist(
     """-> (images (N, hw, hw) uint8, labels (N,) int, class_names)."""
     if num_classes > len(CLASS_NAMES):
         raise ValueError(f"at most {len(CLASS_NAMES)} classes")
+    if n_per_class < 1 or num_classes < 1:
+        raise ValueError(
+            f"synthetic data needs n_per_class >= 1 and num_classes >= 1; "
+            f"got n_per_class={n_per_class}, num_classes={num_classes}"
+        )
     rng = np.random.default_rng(seed)
     images, labels = [], []
     for cls in range(num_classes):

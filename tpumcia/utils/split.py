@@ -37,6 +37,11 @@ def train_test_split_indices(
     if groups is not None:
         groups = np.asarray(groups)
         uniq = rng.permutation(np.unique(groups))
+        if len(uniq) < 2:
+            raise ValueError(
+                "grouped split needs >= 2 distinct groups (one group must "
+                f"stay whole on each side); got {len(uniq)}"
+            )
         target = test_size * n
         test_groups, count = [], 0
         for g in uniq:
