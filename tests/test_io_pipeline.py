@@ -406,6 +406,29 @@ def test_run_pipeline_smoke():
     assert res.timings["features_s"] > 0
 
 
+def test_run_pipeline_channel_method_selectable():
+    """ImportanceConfig.channel_method routes run_pipeline's channel scoring
+    ('ablation' here; 'permutation' is the reference default, ipynb:458-462).
+    Unknown methods surface channel_importance's named error."""
+    import pytest
+
+    from tpumcia.pipeline.run import run_pipeline
+
+    images, labels, _ = synthetic_multichannel(12, num_classes=3, seed=4)
+    cfg = {
+        "features": {"use_pallas": "never"},
+        "head": {"kind": "logistic", "num_steps": 300},
+        "importance": {"n_repeats": 2, "channel_method": "ablation"},
+    }
+    res = run_pipeline(images, labels, config=cfg)
+    assert res.channel_result.method == "ablation"
+    assert res.channel_result.top_channel() == 0
+
+    bad = dict(cfg, importance={"channel_method": "shapley"})
+    with pytest.raises(ValueError, match="unknown method 'shapley'"):
+        run_pipeline(images, labels, config=bad)
+
+
 def test_run_pipeline_validates_shapes_up_front():
     """Rank/length mismatches must raise named errors at the entry point,
     not opaque transpose/index errors deep in the sharded extraction or

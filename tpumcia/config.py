@@ -125,6 +125,11 @@ class ImportanceConfig:
     # 'substring' replicates the reference's `"Ch1" in name` matching, which
     # breaks for >= 10 channels (SURVEY.md §3.3).
     channel_match: str = "exact"
+    # how run_pipeline scores channels: 'permutation' (reference default,
+    # ipynb:458-462), 'ablation' (column fill-in score drop), 'mdi'/'coef'
+    # (head-derived; head kind must match), or 'auto' (mdi for forests,
+    # permutation otherwise). See importance/channels.py::channel_importance.
+    channel_method: str = "permutation"
 
 
 @dataclass(frozen=True)

@@ -65,6 +65,8 @@ def _fast_path_ok(cfg: PipelineConfig, images, mask, mesh) -> bool:
         return False
     if cfg.importance.channel_match != "exact":
         return False  # substring-compat grouping needs the classic path
+    if cfg.importance.channel_method != "permutation":
+        return False  # the fused dispatch bakes the permutation sweeps
     if cfg.synth.noise_channels > 0 and (images.ndim != 3 or mask is not None):
         return False
     if cfg.synth.noise_channels == 0 and images.ndim != 4:
@@ -309,7 +311,7 @@ def run_pipeline(
         head,
         fm_test,
         labels[split.test_idx],
-        method="permutation",
+        method=cfg.importance.channel_method,
         config=cfg.importance,
         mesh=mesh,
     )
