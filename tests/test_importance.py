@@ -102,6 +102,17 @@ def test_ablation(informative_data):
         channel_ablation_importance(head, X, y, groups, fill="median")
 
 
+def test_sweep_rejects_zero_repeats(informative_data):
+    """n_repeats=0 used to mean-reduce an empty axis into silent all-NaN
+    importances; every sweep entry must raise the shared named error."""
+    from tpumcia.importance.permutation import permutation_importance
+
+    X, y = informative_data
+    head = fit_head(X, y, config=HeadConfig(kind="logistic", num_steps=50))
+    with pytest.raises(ValueError, match="n_repeats must be >= 1"):
+        permutation_importance(head, X, y, n_repeats=0)
+
+
 def test_mdi_channel_importance_one_call(rng):
     """The notebook cells 23+25 convenience wrapper: MDI + per-channel
     aggregation in one call, signal channel first (ipynb:432-443, 456-462)."""

@@ -406,6 +406,31 @@ def test_run_pipeline_smoke():
     assert res.timings["features_s"] > 0
 
 
+def test_size_parameters_validated_at_entries():
+    """batch_size/shard_size/levels <= 0 used to surface as
+    ZeroDivisionError / 'need at least one array to concatenate' /
+    silent -1 levels (r5-close probe findings)."""
+    import pytest
+
+    from tpumcia.config import FeatureConfig
+    from tpumcia.features.extract import extract_features_batched
+    from tpumcia.preprocess.normalize import quantize_to_levels
+
+    images, _, _ = synthetic_multichannel(4, num_classes=2, seed=1)
+    for bs in (0, -4):
+        with pytest.raises(ValueError, match="batch_size must be >= 1"):
+            extract_features_batched(
+                images, batch_size=bs, config=FeatureConfig(use_pallas="never")
+            )
+    with pytest.raises(ValueError, match="shard_size must be >= 1"):
+        stream_extract(
+            lambda idx: (images[idx], None, None), 4, "/tmp/unused",
+            shard_size=0, config=FeatureConfig(use_pallas="never"),
+        )
+    with pytest.raises(ValueError, match="levels must be >= 1"):
+        quantize_to_levels(np.zeros((2, 4, 4, 1), np.float32), levels=0)
+
+
 def test_run_pipeline_channel_method_selectable():
     """ImportanceConfig.channel_method routes run_pipeline's channel scoring
     ('ablation' here; 'permutation' is the reference default, ipynb:458-462).

@@ -695,6 +695,8 @@ def extract_features_batched(
     'exact'/'device' precision, >=2^16 pixels).
     """
     cfg = config or FeatureConfig()
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1; got {batch_size}")
     images = _as_level_array(images, cfg.glcm.levels)
     n = len(images)
     fast = batched_fast_path_ok(images.shape, cfg)

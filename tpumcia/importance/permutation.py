@@ -150,6 +150,15 @@ def _device_score_parts(head):
     )
 
 
+def check_n_repeats(n_repeats) -> int:
+    """Shared sweep-entry guard: n_repeats=0 would silently mean-reduce an
+    empty axis into all-NaN importances (numpy RuntimeWarnings, no error)."""
+    n = int(n_repeats)
+    if n < 1:
+        raise ValueError(f"n_repeats must be >= 1; got {n_repeats!r}")
+    return n
+
+
 @functools.partial(jax.jit, static_argnames=("n_repeats",))
 def _perm_sweep(X, y_idx, masks, key, apply_fn, *, n_repeats):
     """masks: (G, F) 0/1 — columns permuted *jointly* (with one permutation)
@@ -179,6 +188,7 @@ def _perm_sweep(X, y_idx, masks, key, apply_fn, *, n_repeats):
 
 
 def _run_sweep(head, X, y, masks, *, n_repeats, seed):
+    n_repeats = check_n_repeats(n_repeats)
     apply_fn, classes = _device_score_parts(head)
     y_idx = jnp.asarray(labels_to_class_idx(y, classes))
     X = jnp.asarray(X, jnp.float32)
@@ -232,6 +242,7 @@ def permutation_importance_host(
 ) -> PermutationResult:
     """sklearn's own implementation (host, joblib) — compat path for
     host-only heads and cross-checking the device sweep."""
+    n_repeats = check_n_repeats(n_repeats)
     from sklearn.inspection import permutation_importance as sk_perm
 
     X = np.asarray(X)

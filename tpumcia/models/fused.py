@@ -135,6 +135,9 @@ def fit_logistic_with_importance(
     imp_cfg = importance_config or ImportanceConfig()
     if head_cfg.kind != "logistic":
         raise ValueError("fused fit supports the logistic head")
+    from tpumcia.importance.permutation import check_n_repeats
+
+    check_n_repeats(imp_cfg.n_repeats)
     labels = np.asarray(labels)
     train_idx = np.asarray(train_idx)
     test_idx = np.asarray(test_idx)

@@ -447,7 +447,10 @@ def permutation_importance_sharded(
     from tpumcia.importance.permutation import (
         PermutationResult,
         _device_score_parts,
+        check_n_repeats,
     )
+
+    n_repeats = check_n_repeats(n_repeats)
 
     apply_fn, classes = _device_score_parts(head)
     from tpumcia.importance.permutation import group_masks, labels_to_class_idx

@@ -228,6 +228,8 @@ def stream_extract(
     cfg = config or FeatureConfig()
     if n < 1:
         raise ValueError(f"stream_extract needs n >= 1 objects; got {n}")
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1; got {shard_size}")
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if process_count is None:

@@ -40,6 +40,8 @@ def quantize_to_levels(
     * float input in [0, 1]: level = ``floor(v * (levels - 1) + 0.5)``
       (round-to-nearest of the scaled value).
     """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1; got {levels}")
     images = jnp.asarray(images)
     if jnp.issubdtype(images.dtype, jnp.floating):
         lev = jnp.floor(images * (levels - 1) + 0.5)
